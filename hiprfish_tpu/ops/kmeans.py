@@ -1,0 +1,71 @@
+"""Jitted Lloyd KMeans for 1-D intensity clustering.
+
+The reference calls sklearn KMeans(n_clusters=2 or 3, random_state=0) on
+flattened pixel intensities 14x across the repo to split foreground from
+background (e.g. hiprfish_imaging_spectral_image_measurement.py:73,85;
+hiprfish_imaging_multispecies_spectral_image_measurement.py:125,141). The
+downstream logic only consumes "cluster with the highest mean intensity", so a
+deterministic fixed-iteration Lloyd solver with quantile seeding reproduces the
+behavior while staying inside jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
+    """Cluster scalar values into k groups with histogram-accelerated Lloyd.
+
+    The N-point Lloyd update is collapsed onto a fixed n_bins histogram of the
+    value range: O(n_bins * k) per iteration instead of O(N * k), with
+    identical fixed points up to bin resolution. Returns (labels, centers)
+    with centers sorted ascending so cluster k-1 is always the brightest.
+    """
+    v = values.reshape(-1).astype(jnp.float32)
+    vmin = jnp.min(v)
+    vmax = jnp.max(v)
+    span = jnp.maximum(vmax - vmin, 1e-12)
+    # Histogram of values (weights = counts, sums = per-bin value mass).
+    idx = jnp.clip(((v - vmin) / span * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
+    counts = jnp.zeros((n_bins,), jnp.float32).at[idx].add(1.0)
+    sums = jnp.zeros((n_bins,), jnp.float32).at[idx].add(v)
+    bin_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
+    bin_pos = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins * span
+    bin_val = jnp.where(counts > 0, bin_centers, bin_pos)
+
+    # Quantile-spread deterministic init.
+    qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    init_centers = jnp.quantile(v, qs)
+
+    def step(centers, _):
+        d = jnp.abs(bin_val[:, None] - centers[None, :])
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        w = one_hot * counts[:, None]
+        new = (w * bin_val[:, None]).sum(0) / jnp.maximum(w.sum(0), 1e-12)
+        new = jnp.where(w.sum(0) > 0, new, centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(step, init_centers, None, length=iters)
+    centers = jnp.sort(centers)
+    labels = jnp.argmin(jnp.abs(v[:, None] - centers[None, :]), axis=1)
+    return labels.reshape(values.shape).astype(jnp.int32), centers
+
+
+def brightest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):
+    """Boolean mask of the cluster with the highest center.
+
+    Mirrors the reference's "compare per-cluster mean intensity, keep the
+    brighter one" idiom (spectral_image_measurement.py:75-84)."""
+    labels, centers = kmeans1d(image, k, iters)
+    return labels == (k - 1)
+
+
+def darkest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):
+    labels, centers = kmeans1d(image, k, iters)
+    return labels == 0

@@ -1,0 +1,164 @@
+"""Connected-component labeling and label utilities, jittable on TPU.
+
+The reference relies on skimage.measure.label / relabel_sequential /
+clear_border / remove_small_objects throughout its segmentation engines
+(e.g. spectral_image_measurement.py:97-115,
+multispecies_spectral_image_measurement.py:136-157). Flood-fill labeling is
+inherently sequential, so here it is reformulated as iterative min-label
+propagation with pointer jumping: every pixel starts with its own linear index
+as a label, each step takes the min over neighbors, and a gather through the
+label array ("label of my label") compresses chains — O(log diameter)-ish
+convergence, all as fused element-wise ops + one gather per step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2**30)
+
+
+def _neighbor_shifts(ndim: int, connectivity: int):
+    """Offsets of the neighborhood (excluding center)."""
+    import itertools
+
+    shifts = []
+    for off in itertools.product((-1, 0, 1), repeat=ndim):
+        if all(o == 0 for o in off):
+            continue
+        if sum(abs(o) for o in off) <= connectivity:
+            shifts.append(off)
+    return shifts
+
+
+def shifted(arr, off, fill):
+    """Public wrapper: shift ``arr`` so that out[p] = arr[p - off]."""
+    out = arr
+    for ax, o in enumerate(off):
+        if o == 0:
+            continue
+        n = arr.shape[ax]
+        if o > 0:
+            pad = [(0, 0)] * arr.ndim
+            pad[ax] = (o, 0)
+            out = jax.lax.slice_in_dim(
+                jnp.pad(out, pad, constant_values=fill), 0, n, axis=ax
+            )
+        else:
+            pad = [(0, 0)] * arr.ndim
+            pad[ax] = (0, -o)
+            out = jax.lax.slice_in_dim(
+                jnp.pad(out, pad, constant_values=fill), -o, n - o, axis=ax
+            )
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512):
+    """Label connected components of a boolean mask.
+
+    connectivity follows skimage.measure.label semantics: 1 = faces only,
+    ndim = full neighborhood (default). Returns int32 labels with arbitrary
+    positive ids (use relabel_sequential for 1..n ids).
+    """
+    ndim = mask.ndim
+    if connectivity is None:
+        connectivity = ndim
+    shifts = _neighbor_shifts(ndim, connectivity)
+    size = mask.size
+    lin = (jnp.arange(size, dtype=jnp.int32) + 1).reshape(mask.shape)
+    lbl0 = jnp.where(mask, lin, 0)
+
+    def resolve(lbl):
+        """lbl <- lbl[lbl - 1]: one pointer-jump through the label array."""
+        flat = lbl.reshape(-1)
+        src = jnp.maximum(lbl, 1) - 1
+        return jnp.where(lbl > 0, flat[src.reshape(-1)].reshape(lbl.shape), 0)
+
+    def body(state):
+        lbl, _, it = state
+        cur = jnp.where(mask, lbl, _INF)
+        nb = cur
+        for off in shifts:
+            nb = jnp.minimum(nb, shifted(cur, off, _INF))
+        new = jnp.where(mask, jnp.minimum(cur, nb), _INF)
+        new = jnp.where(mask, new, 0)
+        new = resolve(resolve(new))
+        return new, jnp.any(new != lbl), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < max_iters)
+
+    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
+    return lbl
+
+
+@jax.jit
+def relabel_sequential(labels: jax.Array):
+    """Remap positive labels to 1..n preserving order (skimage
+    relabel_sequential). Returns (new_labels, n_labels)."""
+    size = labels.size
+    flat = labels.reshape(-1).astype(jnp.int32)
+    # Label values are bounded by size (linear-index construction) — clamp to
+    # be safe with externally supplied labels.
+    flat_c = jnp.clip(flat, 0, size)
+    presence = jnp.zeros((size + 1,), jnp.int32).at[flat_c].set(1)
+    presence = presence.at[0].set(0)
+    newid = jnp.cumsum(presence).astype(jnp.int32)
+    out = jnp.where(flat > 0, newid[flat_c], 0).reshape(labels.shape)
+    return out, newid[-1]
+
+
+@jax.jit
+def clear_border(labels: jax.Array):
+    """Zero every component touching the image border (skimage clear_border)."""
+    size = labels.size
+    flat = jnp.clip(labels.reshape(-1).astype(jnp.int32), 0, size)
+    border = jnp.zeros(labels.shape, bool)
+    for ax in range(labels.ndim):
+        idx = [slice(None)] * labels.ndim
+        idx[ax] = 0
+        border = border.at[tuple(idx)].set(True)
+        idx[ax] = labels.shape[ax] - 1
+        border = border.at[tuple(idx)].set(True)
+    marked = jnp.zeros((size + 1,), jnp.int32).at[
+        jnp.where(border.reshape(-1), flat, 0)
+    ].set(1)
+    marked = marked.at[0].set(0)
+    drop = marked[flat].reshape(labels.shape) > 0
+    return jnp.where(drop, 0, labels)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def label_counts(labels: jax.Array, num_segments: int):
+    """Pixel count per label id (index 0 = background)."""
+    flat = labels.reshape(-1).astype(jnp.int32)
+    return jnp.zeros((num_segments,), jnp.int32).at[
+        jnp.clip(flat, 0, num_segments - 1)
+    ].add(1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def remove_small_objects(mask: jax.Array, min_size: int, connectivity: int | None = None):
+    """Drop connected components smaller than min_size from a boolean mask
+    (skimage.morphology.remove_small_objects)."""
+    lbl = label(mask, connectivity)
+    size = mask.size
+    flat = jnp.clip(lbl.reshape(-1), 0, size)
+    counts = jnp.zeros((size + 1,), jnp.int32).at[flat].add(1)
+    keep = counts[flat].reshape(mask.shape) >= min_size
+    return mask & keep
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def remove_small_labels(labels: jax.Array, min_size: int):
+    """Zero label regions smaller than min_size, keeping remaining ids
+    (skimage remove_small_objects on a label image)."""
+    size = labels.size
+    flat = jnp.clip(labels.reshape(-1).astype(jnp.int32), 0, size)
+    counts = jnp.zeros((size + 1,), jnp.int32).at[flat].add(1)
+    keep = counts[flat].reshape(labels.shape) >= min_size
+    return jnp.where(keep, labels, 0)
