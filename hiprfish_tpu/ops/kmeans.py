@@ -38,10 +38,6 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
     bin_pos = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins * span
     bin_val = jnp.where(counts > 0, bin_centers, bin_pos)
 
-    # Quantile-spread deterministic init.
-    qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
-    init_centers = jnp.quantile(v, qs)
-
     def step(centers, _):
         d = jnp.abs(bin_val[:, None] - centers[None, :])
         assign = jnp.argmin(d, axis=1)
@@ -51,7 +47,23 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
         new = jnp.where(w.sum(0) > 0, new, centers)
         return new, None
 
-    centers, _ = jax.lax.scan(step, init_centers, None, length=iters)
+    def lloyd(init_centers):
+        centers, _ = jax.lax.scan(step, init_centers, None, length=iters)
+        d = jnp.abs(bin_val[:, None] - centers[None, :])
+        inertia = jnp.sum(counts * jnp.min(d, axis=1) ** 2)
+        return centers, inertia
+
+    # Deterministic multi-start (the sklearn n_init analogue): quantile
+    # spread handles balanced modes, value-range spread rescues the
+    # tiny-bright-mode case (cells a small pixel fraction of the FOV), and a
+    # max-anchored start guarantees a basin for a far-out bright mode.
+    qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    quant = jnp.quantile(v, qs)
+    inits = jnp.stack(
+        [quant, vmin + qs * span, jnp.concatenate([quant[:-1], vmax[None]])]
+    )
+    all_centers, inertias = jax.vmap(lloyd)(inits)
+    centers = all_centers[jnp.argmin(inertias)]
     centers = jnp.sort(centers)
     labels = jnp.argmin(jnp.abs(v[:, None] - centers[None, :]), axis=1)
     return labels.reshape(values.shape).astype(jnp.int32), centers

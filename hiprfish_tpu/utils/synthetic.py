@@ -1,0 +1,133 @@
+"""Synthetic spectral-FOV generator for tests and benchmarks.
+
+The reference has no test suite (SURVEY.md §4); its de-facto validation is
+known-barcode ground truth baked into experiments. This module recreates that
+strategy synthetically: FOVs of rod/ellipse-shaped cells with known binary
+barcodes, per-fluorophore emission spectra consistent with the per-laser
+check-bit groups, optional per-laser registration shifts, noise, and a
+brightness gradient — so segmentation, measurement, classification, and
+error-rate collection can all be validated end-to-end without microscope data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hiprfish_tpu.config import ChannelLayout
+
+
+def fluorophore_spectra(layout: ChannelLayout, sharpness: float = 6.0) -> np.ndarray:
+    """(n_bits, C) per-fluorophore emission spectra.
+
+    Fluorophore k emits a Gaussian bump inside every laser block whose
+    check-bit group contains k (so block energy <-> check bit), with a
+    distinct peak position per fluorophore for discriminability.
+    """
+    spectra = np.zeros((layout.n_bits, layout.n_channels), np.float64)
+    for block_idx, group in enumerate(layout.check_bit_groups):
+        if block_idx >= len(layout.blocks):
+            continue  # derived blocks (e.g. violet derivative) have no channels
+        lo, hi = layout.blocks[block_idx]
+        width = hi - lo
+        for rank, bit in enumerate(sorted(group)):
+            center = lo + (rank + 1) / (len(group) + 1) * width
+            ch = np.arange(layout.n_channels)
+            spectra[bit] += np.exp(
+                -((ch - center) ** 2) / (2 * (width / sharpness) ** 2)
+            )
+    # Normalize each fluorophore to unit peak.
+    peaks = spectra.max(axis=1, keepdims=True)
+    return spectra / np.maximum(peaks, 1e-12)
+
+
+def barcode_spectrum(layout: ChannelLayout, code: int,
+                     spectra: np.ndarray | None = None) -> np.ndarray:
+    """(C,) mean spectrum of a barcode = sum of its fluorophores' spectra."""
+    if spectra is None:
+        spectra = fluorophore_spectra(layout)
+    bits = [int(b) for b in layout.code_str(code)]
+    out = np.zeros(layout.n_channels)
+    for k, on in enumerate(bits):
+        if on:
+            out += spectra[k]
+    # Unit peak: cells carry a similar total stain load regardless of how
+    # many fluorophores their barcode uses (matches row-max normalization
+    # downstream and keeps the fg/bkg KMeans bimodal).
+    return out / max(out.max(), 1e-12)
+
+
+def make_fov(
+    layout: ChannelLayout,
+    barcodes,
+    shape=(256, 256),
+    seed: int = 0,
+    laser_shifts=None,
+    cell_axes=(9.0, 15.0),
+    brightness: float = 1.0,
+    noise: float = 0.01,
+    grid_jitter: float = 0.25,
+):
+    """Generate per-laser images of a synthetic FOV.
+
+    Args:
+      barcodes: list of integer barcode ids, one per cell, placed on a
+        jittered grid.
+      laser_shifts: optional (n_lasers, 2) integer shifts applied per laser to
+        exercise registration.
+
+    Returns dict with:
+      stack: list of per-laser (H, W, C_l) float32 arrays
+      truth_labels: (H, W) int ground-truth cell labels (1..n, row-major grid order)
+      truth_barcodes: list of barcode ids per label
+      spectra: (n_bits, C) fluorophore spectra used
+    """
+    rng = np.random.RandomState(seed)
+    h, w = shape
+    n = len(barcodes)
+    spectra = fluorophore_spectra(layout)
+    grid = int(np.ceil(np.sqrt(n)))
+    margin = max(cell_axes) + 12
+    ys = np.linspace(margin, h - margin, grid)
+    xs = np.linspace(margin, w - margin, grid)
+    jitter_px = 4.0
+    yy, xx = np.mgrid[:h, :w]
+
+    image = np.zeros((h, w, layout.n_channels), np.float64)
+    truth = np.zeros((h, w), np.int32)
+    for i, code in enumerate(barcodes):
+        cy = ys[i // grid] + rng.uniform(-1, 1) * jitter_px
+        cx = xs[i % grid] + rng.uniform(-1, 1) * jitter_px
+        theta = rng.uniform(0, np.pi)
+        a, b = cell_axes  # semi-minor, semi-major
+        dy = yy - cy
+        dx = xx - cx
+        u = dy * np.cos(theta) + dx * np.sin(theta)
+        v = -dy * np.sin(theta) + dx * np.cos(theta)
+        r2 = (u / b) ** 2 + (v / a) ** 2
+        inside = r2 <= 1.0
+        # Mild brightness gradient: a brighter interior so the KMeans(3)
+        # layer pick isolates cell cores (spectral_image_measurement.py:85-95)
+        # while KMeans(2) still captures the whole cell as foreground.
+        profile = np.where(inside, 1.0 - 0.2 * np.sqrt(np.clip(r2, 0, 1)), 0.0)
+        spec = barcode_spectrum(layout, code, spectra)
+        cell_gain = brightness * rng.uniform(0.8, 1.2)
+        image += profile[:, :, None] * spec[None, None, :] * cell_gain
+        truth[inside & (truth == 0)] = i + 1
+
+    image += rng.rand(h, w, layout.n_channels) * noise
+
+    # Split into per-laser blocks and apply per-laser shifts.
+    stack = []
+    for li, (lo, hi) in enumerate(layout.blocks):
+        plane = image[:, :, lo:hi]
+        if laser_shifts is not None:
+            sr, sc = laser_shifts[li]
+            plane = np.roll(plane, (int(sr), int(sc)), axis=(0, 1))
+        stack.append(plane.astype(np.float32))
+
+    return {
+        "stack": stack,
+        "truth_labels": truth,
+        "truth_barcodes": list(barcodes),
+        "spectra": spectra,
+    }
