@@ -1,0 +1,133 @@
+"""Per-laser-block spectral distances as batched MXU matmuls.
+
+The reference defines ~12 numba-JIT scalar metrics (channel_cosine_intensity
+and variants, hiprfish_imaging_train_reference.py:223-1387) that UMAP calls
+pairwise — O(N^2) scalar kernel invocations. The TPU formulation computes the
+whole (N, M) distance matrix at once: each laser block's cosine similarity is
+one normalized matmul (MXU), the check-bit gate is an element-wise select on
+the result, so the entire custom metric is a handful of GEMMs + fused
+element-wise ops.
+
+Semantics reproduced (channel_cosine_intensity, train_reference.py:223-386):
+  * per block b: cos_dist_b = 1 - <x_b, y_b>/(|x_b||y_b|); 0 if both zero,
+    1 if exactly one is zero.
+  * if the check-bit vectors of x and y agree (sum |diff| < 0.01): blocks
+    whose check bit is OFF in x contribute 0; else all blocks contribute.
+  * distance = mean over blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_cosine_dist(xb: jax.Array, yb: jax.Array) -> jax.Array:
+    """(N, M) cosine distances between block slices, with the reference's
+    zero-norm conventions."""
+    nx = jnp.sqrt(jnp.sum(xb * xb, axis=1))
+    ny = jnp.sqrt(jnp.sum(yb * yb, axis=1))
+    dots = jnp.dot(xb, yb.T, preferred_element_type=jnp.float32)
+    denom = nx[:, None] * ny[None, :]
+    cos = jnp.where(denom > 0, dots / jnp.maximum(denom, 1e-30), 0.0)
+    dist = 1.0 - cos
+    both_zero = (nx[:, None] == 0) & (ny[None, :] == 0)
+    one_zero = (nx[:, None] == 0) ^ (ny[None, :] == 0)
+    dist = jnp.where(both_zero, 0.0, dist)
+    dist = jnp.where(one_zero, 1.0, dist)
+    return dist
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def block_cosine_distance_matrix(
+    x: jax.Array,
+    y: jax.Array,
+    blocks: Tuple[Tuple[int, int], ...],
+    check_slice: Tuple[int, int] | None = None,
+) -> jax.Array:
+    """Pairwise gated block-cosine distances.
+
+    Args:
+      x: (N, D) query features (channels + check bits).
+      y: (M, D) reference features.
+      blocks: static ((lo, hi), ...) channel slices per laser block.
+      check_slice: static (lo, hi) of the check-bit columns, or None for the
+        ungated mean-of-block-cosines metric.
+
+    Returns (N, M) float32 distances.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n_blocks = len(blocks)
+    dists = [
+        _block_cosine_dist(x[:, lo:hi], y[:, lo:hi]) for (lo, hi) in blocks
+    ]
+    ungated = sum(dists) / n_blocks
+    if check_slice is None:
+        return ungated
+    clo, chi = check_slice
+    xc = x[:, clo:chi]
+    yc = y[:, clo:chi]
+    # checks agree when sum |xc - yc| < 0.01 (train_reference.py:225)
+    diff = jnp.sum(
+        jnp.abs(xc[:, None, :] - yc[None, :, :]), axis=-1
+    )
+    agree = diff < 0.01
+    n_checks = chi - clo
+    gated = sum(
+        dists[b] * xc[:, min(b, n_checks - 1)][:, None]
+        for b in range(n_blocks)
+    ) / n_blocks
+    return jnp.where(agree, gated, ungated)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def block_chi_distance_matrix(
+    x: jax.Array, y: jax.Array, blocks: Tuple[Tuple[int, int], ...]
+) -> jax.Array:
+    """Pairwise chi-square block distance (channel_chi_intensity_7b,
+    train_reference.py:1168): per block, sum (x-y)^2/(x+y), averaged."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    out = 0.0
+    for lo, hi in blocks:
+        xb = x[:, None, lo:hi]
+        yb = y[None, :, lo:hi]
+        num = (xb - yb) ** 2
+        den = jnp.maximum(xb + yb, 1e-12)
+        out = out + jnp.sum(num / den, axis=-1)
+    return out / len(blocks)
+
+
+@jax.jit
+def correlation_distance_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise 1 - Pearson correlation (channel_correlation,
+    train_reference.py:1275), as one centered-normalized matmul."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    yc = y - jnp.mean(y, axis=1, keepdims=True)
+    xn = xc / jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-30)
+    yn = yc / jnp.maximum(jnp.linalg.norm(yc, axis=1, keepdims=True), 1e-30)
+    return 1.0 - jnp.dot(xn, yn.T, preferred_element_type=jnp.float32)
+
+
+def metric_for_layout(layout, violet_derivative: bool = False):
+    """(blocks, check_slice) for the gated metric of a channel layout.
+
+    10-bit + violet derivative: 6 blocks ([0:32],[32:55],[55:75],[75:89],
+    [89:95],[95:126]) with checks at [126:132]
+    (image_classification.py:47-54). 7-bit: 4 blocks with checks at [63:67]
+    (classify_spectra.py:28-33)."""
+    blocks = list(layout.blocks)
+    c = layout.n_channels
+    if violet_derivative:
+        first = layout.blocks[0]
+        d = first[1] - first[0] - 1  # np.diff width of the first block
+        blocks = blocks + [(c, c + d)]
+        c = c + d
+    n_checks = len(layout.check_bit_groups)
+    return tuple(blocks), (c, c + n_checks)

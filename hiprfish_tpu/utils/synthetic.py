@@ -131,3 +131,38 @@ def make_fov(
         "truth_barcodes": list(barcodes),
         "spectra": spectra,
     }
+
+
+def write_reference_folder(
+    layout: ChannelLayout,
+    folder: str,
+    encs,
+    cells_per_code: int = 60,
+    seed: int = 0,
+    prefix: str = "08_18_2018",
+    noise: float = 0.02,
+    write_norm: bool = False,
+) -> None:
+    """Write synthetic measured-reference CSVs ('{prefix}_enc_<n>_avgint.csv')
+    for each barcode — the on-disk interface the training builders glob
+    (train_reference.py:58). Rows are noisy per-cell mean spectra with random
+    per-cell gain, mimicking real reference measurements."""
+    import os
+
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    spectra = fluorophore_spectra(layout)
+    for enc in encs:
+        spec = barcode_spectrum(layout, enc, spectra)
+        gains = rng.uniform(0.7, 1.3, (cells_per_code, 1))
+        rows = gains * spec[None, :] + rng.randn(
+            cells_per_code, layout.n_channels
+        ) * noise * spec.max()
+        rows = np.clip(rows, 0, None)
+        path = os.path.join(folder, f"{prefix}_enc_{enc}_avgint.csv")
+        np.savetxt(path, rows, delimiter=",")
+        if write_norm:
+            norm = rows / np.maximum(rows.max(axis=1, keepdims=True), 1e-12)
+            np.savetxt(
+                os.path.join(folder, f"{prefix}_enc_{enc}_avgint_norm.csv"),
+                norm, delimiter=",")
