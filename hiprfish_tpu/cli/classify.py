@@ -14,6 +14,9 @@ from hiprfish_tpu.pipeline import classify
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser("Classify HiPR-FISH cell spectra")
     parser.add_argument("input_spectra", type=str,
                         help="Average single-cell spectra filename (_avgint.csv)")

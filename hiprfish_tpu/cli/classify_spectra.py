@@ -14,6 +14,9 @@ from hiprfish_tpu.pipeline import classify
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser("Classify single cell spectra")
     parser.add_argument("-i", "--input_spectra", dest="input_spectra",
                         type=str, default="")

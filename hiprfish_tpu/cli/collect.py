@@ -12,6 +12,9 @@ from hiprfish_tpu.pipeline import collect
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser("Collect HiPR-FISH measurement results")
     parser.add_argument("data_dir", type=str)
     parser.add_argument("simulation_table", type=str)

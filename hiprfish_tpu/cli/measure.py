@@ -42,6 +42,9 @@ def measure_reference_images(image_names, cal_toggle="F",
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(
         "Measure HiPR-FISH reference spectral images")
     parser.add_argument("-i", "--image_name", dest="image_name", nargs="*",

@@ -41,6 +41,9 @@ def measure_biofilm_images_no_reference(image_names, calibration="",
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(
         "Measure multispecies synthetic spectral images")
     parser.add_argument("-i", "--image_name", dest="image_name", nargs="*",

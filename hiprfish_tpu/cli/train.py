@@ -35,6 +35,9 @@ VARIANTS = {
 
 
 def main(argv=None):
+    from hiprfish_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser("Train HiPR-FISH spectral classifiers")
     parser.add_argument("reference_folder", type=str)
     parser.add_argument("-v", "--variant", default="violet_derivative",

@@ -1,0 +1,334 @@
+"""Zeiss CZI (ZISRAW) reader — replaces the reference's javabridge/bioformats
+JVM ingestion (spectral_image_measurement.py:31: a JVM started at import
+time; SURVEY.md hard-parts #3).
+
+Implements the ZISRAW container format directly: segment stream parsing
+(ZISRAWFILE header -> ZISRAWDIRECTORY -> ZISRAWSUBBLOCK), DimensionEntryDV
+coordinates (X/Y/C/Z/T/S/M), uncompressed and zstd-compressed pixel data,
+Gray8/Gray16/Gray32Float pixel types. Multi-channel planes are assembled
+from per-channel subblocks into (Y, X, C) float arrays, matching
+bioformats.load_image semantics.
+
+A minimal spec-compliant writer (write_czi) is included for tests and for
+converting arrays to CZI. JPEG/JPEG-XR compressed files are rejected with a
+clear error (convert externally or use .npy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Optional
+
+import numpy as np
+
+SEGMENT_HEADER = struct.Struct("<16sqq")
+
+PIXEL_DTYPES = {
+    0: np.dtype("uint8"),        # Gray8
+    1: np.dtype("<u2"),          # Gray16
+    2: np.dtype("<f4"),          # Gray32Float
+    3: np.dtype("uint8"),        # Bgr24 (3 samples)
+    12: np.dtype("<i4"),         # Gray32
+    13: np.dtype("<f8"),         # Gray64
+}
+PIXEL_SAMPLES = {3: 3}
+
+COMP_UNCOMPRESSED = 0
+COMP_ZSTD0 = 5
+COMP_ZSTD1 = 6
+
+
+@dataclasses.dataclass
+class DimensionEntry:
+    dimension: str
+    start: int
+    size: int
+    stored_size: int
+
+
+@dataclasses.dataclass
+class SubBlockEntry:
+    file_position: int
+    pixel_type: int
+    compression: int
+    dimensions: Dict[str, DimensionEntry]
+
+    def dim_start(self, d: str, default: int = 0) -> int:
+        e = self.dimensions.get(d)
+        return e.start if e else default
+
+    def dim_size(self, d: str, default: int = 1) -> int:
+        e = self.dimensions.get(d)
+        return e.size if e else default
+
+
+class CziFile:
+    """Random-access ZISRAW container."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        sid, _, _ = self._read_segment_header(0)
+        if sid != "ZISRAWFILE":
+            raise ValueError(f"{path}: not a CZI file (got segment {sid!r})")
+        payload = self._f.read(512)
+        # FileHeaderSegment: Major, Minor, Reserved(8), PrimaryFileGuid(16),
+        # FileGuid(16), FilePart, DirectoryPosition(8), MetadataPosition(8),
+        # UpdatePending, AttachmentDirectoryPosition(8)
+        (self.major, self.minor) = struct.unpack_from("<ii", payload, 0)
+        (self.directory_position,) = struct.unpack_from("<q", payload, 48)
+        (self.metadata_position,) = struct.unpack_from("<q", payload, 56)
+        self.entries: List[SubBlockEntry] = []
+        self._parse_directory()
+
+    # -- low-level ----------------------------------------------------------
+
+    def _read_segment_header(self, pos: int):
+        self._f.seek(pos)
+        raw = self._f.read(SEGMENT_HEADER.size)
+        sid, allocated, used = SEGMENT_HEADER.unpack(raw)
+        return sid.rstrip(b"\x00").decode("ascii"), allocated, used
+
+    @staticmethod
+    def _parse_directory_entry(buf: bytes, off: int):
+        schema = buf[off:off + 2]
+        if schema != b"DV":
+            raise ValueError(f"unsupported directory entry schema {schema!r}")
+        (pixel_type,) = struct.unpack_from("<i", buf, off + 2)
+        (file_position,) = struct.unpack_from("<q", buf, off + 6)
+        (compression,) = struct.unpack_from("<i", buf, off + 18)
+        (dim_count,) = struct.unpack_from("<i", buf, off + 28)
+        dims: Dict[str, DimensionEntry] = {}
+        p = off + 32
+        for _ in range(dim_count):
+            dname = buf[p:p + 4].rstrip(b"\x00").decode("ascii")
+            start, size, _startf, stored = struct.unpack_from("<iifi", buf, p + 4)
+            dims[dname] = DimensionEntry(dname, start, size, stored or size)
+            p += 20
+        entry = SubBlockEntry(file_position, pixel_type, compression, dims)
+        return entry, p - off
+
+    def _parse_directory(self):
+        sid, _, used = self._read_segment_header(self.directory_position)
+        if sid != "ZISRAWDIRECTORY":
+            raise ValueError(f"bad directory segment {sid!r}")
+        buf = self._f.read(used)
+        (count,) = struct.unpack_from("<i", buf, 0)
+        p = 128  # entry table starts after the 128-byte directory header
+        for _ in range(count):
+            entry, consumed = self._parse_directory_entry(buf, p)
+            self.entries.append(entry)
+            p += consumed
+
+    # -- metadata -----------------------------------------------------------
+
+    @property
+    def metadata_xml(self) -> str:
+        if self.metadata_position <= 0:
+            return ""
+        sid, _, used = self._read_segment_header(self.metadata_position)
+        if sid != "ZISRAWMETADATA":
+            return ""
+        buf = self._f.read(used)
+        (xml_size,) = struct.unpack_from("<i", buf, 0)
+        return buf[256:256 + xml_size].decode("utf-8", "replace")
+
+    def _dim_extent(self, d: str) -> int:
+        hi = 0
+        for e in self.entries:
+            de = e.dimensions.get(d)
+            if de:
+                hi = max(hi, de.start + de.size)
+        return max(hi, 1)
+
+    @property
+    def size_x(self) -> int:
+        return self._dim_extent("X")
+
+    @property
+    def size_y(self) -> int:
+        return self._dim_extent("Y")
+
+    @property
+    def size_c(self) -> int:
+        return self._dim_extent("C")
+
+    @property
+    def size_z(self) -> int:
+        return self._dim_extent("Z")
+
+    @property
+    def size_t(self) -> int:
+        return self._dim_extent("T")
+
+    @property
+    def n_series(self) -> int:
+        return self._dim_extent("S")
+
+    # -- pixel data ----------------------------------------------------------
+
+    def _read_subblock(self, entry: SubBlockEntry) -> np.ndarray:
+        sid, _, _ = self._read_segment_header(entry.file_position)
+        if sid != "ZISRAWSUBBLOCK":
+            raise ValueError(f"bad subblock segment {sid!r}")
+        fixed = self._f.read(16)
+        meta_size, attach_size, data_size = struct.unpack("<iiq", fixed)
+        # Directory entry copy follows; data starts at
+        # max(256, 16 + entry_size) bytes into the segment payload.
+        entry_buf = self._f.read(512)
+        _, entry_size = self._parse_directory_entry(entry_buf, 0)
+        data_offset = max(256, 16 + entry_size)
+        self._f.seek(entry.file_position + SEGMENT_HEADER.size + data_offset
+                     + meta_size)
+        raw = self._f.read(data_size)
+        if entry.compression in (COMP_ZSTD0, COMP_ZSTD1):
+            import zstandard
+
+            if entry.compression == COMP_ZSTD1:
+                # zstd1 prepends a small header: size byte + fields
+                hdr = raw[0]
+                raw = zstandard.ZstdDecompressor().decompress(
+                    raw[1 + hdr:], max_output_size=1 << 31)
+            else:
+                raw = zstandard.ZstdDecompressor().decompress(
+                    raw, max_output_size=1 << 31)
+        elif entry.compression != COMP_UNCOMPRESSED:
+            raise NotImplementedError(
+                f"CZI compression {entry.compression} (JPEG/JPEG-XR) is not "
+                "supported; re-export uncompressed/zstd or convert to .npy")
+        dtype = PIXEL_DTYPES.get(entry.pixel_type)
+        if dtype is None:
+            raise NotImplementedError(f"CZI pixel type {entry.pixel_type}")
+        samples = PIXEL_SAMPLES.get(entry.pixel_type, 1)
+        sy = entry.dim_size("Y")
+        sx = entry.dim_size("X")
+        sc = entry.dim_size("C", 1)
+        arr = np.frombuffer(raw, dtype)[: sy * sx * sc * samples]
+        if samples > 1:
+            return arr.reshape(sy, sx, samples)
+        if sc > 1:
+            return arr.reshape(sc, sy, sx).transpose(1, 2, 0)
+        return arr.reshape(sy, sx)
+
+    def load_plane(self, z: int = 0, t: int = 0, series: int = 0,
+                   dtype=np.float32) -> np.ndarray:
+        """(Y, X, C) plane at the given Z/T/Scene — bioformats.load_image
+        semantics (normalized to [0, 1] for integer types)."""
+        out = np.zeros((self.size_y, self.size_x, self.size_c), dtype)
+        hit = False
+        for e in self.entries:
+            if e.dim_start("Z") != z and "Z" in e.dimensions:
+                continue
+            if e.dim_start("T") != t and "T" in e.dimensions:
+                continue
+            if e.dim_start("S") != series and "S" in e.dimensions:
+                continue
+            block = self._read_subblock(e).astype(dtype)
+            if np.issubdtype(PIXEL_DTYPES[e.pixel_type], np.integer):
+                block /= float(np.iinfo(PIXEL_DTYPES[e.pixel_type]).max)
+            y0, x0 = e.dim_start("Y"), e.dim_start("X")
+            c0 = e.dim_start("C")
+            sy, sx = block.shape[0], block.shape[1]
+            if block.ndim == 2:
+                out[y0:y0 + sy, x0:x0 + sx, c0] = block
+            else:
+                out[y0:y0 + sy, x0:x0 + sx, c0:c0 + block.shape[2]] = block
+            hit = True
+        if not hit:
+            raise IndexError(f"no subblocks for z={z} t={t} series={series}")
+        return out
+
+    def close(self):
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (tests / array -> CZI conversion)
+# ---------------------------------------------------------------------------
+
+
+def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
+              metadata_xml: str = "<ImageDocument/>") -> None:
+    """Write a (Z, T, C, Y, X)-indexable array as an uncompressed CZI.
+
+    ``planes``: array of shape (Y, X, C) or (Z, Y, X, C) or (T, Z, Y, X, C).
+    """
+    arr = np.asarray(planes)
+    if arr.ndim == 3:
+        arr = arr[None, None]  # (T=1, Z=1, Y, X, C)
+    elif arr.ndim == 4:
+        arr = arr[None]
+    nt, nz, ny, nx, nc = arr.shape
+    dtype = PIXEL_DTYPES[pixel_type]
+
+    segments = []  # (id, payload bytes)
+    subblock_positions = []
+    directory_entries = []
+
+    def dim_entry(name, start, size):
+        return name.encode().ljust(4, b"\x00") + struct.pack(
+            "<iifi", start, size, float(start), size)
+
+    def dir_entry(pos, t, z, c):
+        dims = (dim_entry("X", 0, nx) + dim_entry("Y", 0, ny)
+                + dim_entry("C", c, 1) + dim_entry("Z", z, 1)
+                + dim_entry("T", t, 1))
+        return (b"DV" + struct.pack("<i", pixel_type)
+                + struct.pack("<q", pos) + struct.pack("<i", 0)
+                + struct.pack("<i", COMP_UNCOMPRESSED)
+                + b"\x00" * 6 + struct.pack("<i", 5) + dims)
+
+    # Build the byte stream: file header first (fixed 512-byte payload).
+    out = bytearray()
+
+    def add_segment(sid: bytes, payload: bytes, min_payload: int = 0):
+        pad = max(0, min_payload - len(payload))
+        payload = payload + b"\x00" * pad
+        # Align allocated size to 32 bytes.
+        alloc = (len(payload) + 31) // 32 * 32
+        pos = len(out)
+        out.extend(SEGMENT_HEADER.pack(sid.ljust(16, b"\x00"), alloc,
+                                       len(payload)))
+        out.extend(payload)
+        out.extend(b"\x00" * (alloc - len(payload)))
+        return pos
+
+    # Reserve the file header; fill after positions are known.
+    header_pos = add_segment(b"ZISRAWFILE", b"\x00" * 512)
+
+    # Metadata segment.
+    xml = metadata_xml.encode()
+    meta_payload = struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml
+    metadata_position = add_segment(b"ZISRAWMETADATA", meta_payload)
+
+    # Subblocks.
+    for t in range(nt):
+        for z in range(nz):
+            for c in range(nc):
+                plane = np.ascontiguousarray(arr[t, z, :, :, c], dtype)
+                data = plane.tobytes()
+                entry = dir_entry(0, t, z, c)  # position fixed below
+                data_offset = max(256, 16 + len(entry))
+                payload = (struct.pack("<iiq", 0, 0, len(data)) + entry
+                           + b"\x00" * (data_offset - 16 - len(entry)) + data)
+                pos = add_segment(b"ZISRAWSUBBLOCK", payload)
+                subblock_positions.append(pos)
+                directory_entries.append((pos, t, z, c))
+
+    # Directory.
+    dir_payload = struct.pack("<i", len(directory_entries)) + b"\x00" * 124
+    dir_payload += b"".join(
+        dir_entry(pos, t, z, c) for pos, t, z, c in directory_entries)
+    directory_position = add_segment(b"ZISRAWDIRECTORY", dir_payload)
+
+    # Fill the file header payload.
+    header = bytearray(512)
+    struct.pack_into("<ii", header, 0, 1, 0)                 # version
+    struct.pack_into("<q", header, 48, directory_position)   # dir pos
+    struct.pack_into("<q", header, 56, metadata_position)    # metadata pos
+    out[header_pos + SEGMENT_HEADER.size:
+        header_pos + SEGMENT_HEADER.size + 512] = header
+
+    with open(path, "wb") as f:
+        f.write(out)

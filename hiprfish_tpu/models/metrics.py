@@ -71,11 +71,15 @@ def block_cosine_distance_matrix(
     clo, chi = check_slice
     xc = x[:, clo:chi]
     yc = y[:, clo:chi]
-    # checks agree when sum |xc - yc| < 0.01 (train_reference.py:225)
-    diff = jnp.sum(
-        jnp.abs(xc[:, None, :] - yc[None, :, :]), axis=-1
+    # checks agree when sum |xc - yc| < 0.01 (train_reference.py:225).
+    # For 0/1 bits, sum|x-y| = sum x + sum y - 2 x.y — one GEMM instead of
+    # materializing the (N, M, n_checks) broadcast.
+    diff = (
+        jnp.sum(xc, axis=1)[:, None]
+        + jnp.sum(yc, axis=1)[None, :]
+        - 2.0 * jnp.dot(xc, yc.T, preferred_element_type=jnp.float32)
     )
-    agree = diff < 0.01
+    agree = jnp.abs(diff) < 0.01
     n_checks = chi - clo
     gated = sum(
         dists[b] * xc[:, min(b, n_checks - 1)][:, None]

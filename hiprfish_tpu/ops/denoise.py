@@ -62,11 +62,17 @@ def denoise_nl_means(
     # Pad so wrap-around from jnp.roll never contaminates the valid region.
     padded = jnp.pad(img, pd, mode="reflect")
 
-    offsets = np.stack(
-        np.meshgrid(np.arange(-pd, pd + 1), np.arange(-pd, pd + 1), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 2)
-    offsets = jnp.asarray(offsets, jnp.int32)
+    # Only half the search window is scanned: the patch distance is
+    # symmetric, D_{-o}(p) = D_o(p+o), so each offset o also yields the -o
+    # contribution via one roll of the weighted image — halving the box
+    # filters (the expensive part of each step).
+    half = [
+        (dy, dx)
+        for dy in range(-pd, pd + 1)
+        for dx in range(-pd, pd + 1)
+        if (dy, dx) > (0, 0)
+    ]
+    offsets = jnp.asarray(np.array(half), jnp.int32)
 
     h2 = jnp.float32(h * h)
 
@@ -75,12 +81,16 @@ def denoise_nl_means(
         shifted_img = jnp.roll(padded, (off[0], off[1]), axis=(0, 1))
         d2 = _box_mean((padded - shifted_img) ** 2, patch_size)
         wgt = jnp.exp(-jnp.maximum(d2, 0.0) / h2)
-        return (acc + wgt * shifted_img, wacc + wgt), None
+        # +o contribution at p, and the mirrored -o contribution at p+o.
+        acc = acc + wgt * shifted_img
+        wacc = wacc + wgt
+        acc = acc + jnp.roll(wgt * padded, (-off[0], -off[1]), axis=(0, 1))
+        wacc = wacc + jnp.roll(wgt, (-off[0], -off[1]), axis=(0, 1))
+        return (acc, wacc), None
 
+    # Self term (offset 0): weight exp(0) = 1.
     (acc, wacc), _ = jax.lax.scan(
-        step,
-        (jnp.zeros_like(padded), jnp.zeros_like(padded)),
-        offsets,
+        step, (padded, jnp.ones_like(padded)), offsets
     )
     out = acc / jnp.maximum(wacc, 1e-12)
     return out[pd:-pd, pd:-pd]

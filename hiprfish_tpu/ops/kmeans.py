@@ -57,8 +57,12 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
     # spread handles balanced modes, value-range spread rescues the
     # tiny-bright-mode case (cells a small pixel fraction of the FOV), and a
     # max-anchored start guarantees a basin for a far-out bright mode.
+    # Quantiles come from the histogram CDF (searchsorted over n_bins) — an
+    # O(N) full sort would dominate the whole call on TPU.
     qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
-    quant = jnp.quantile(v, qs)
+    cdf = jnp.cumsum(counts)
+    qbins = jnp.searchsorted(cdf, qs * cdf[-1])
+    quant = bin_val[jnp.clip(qbins, 0, n_bins - 1)]
     inits = jnp.stack(
         [quant, vmin + qs * span, jnp.concatenate([quant[:-1], vmax[None]])]
     )

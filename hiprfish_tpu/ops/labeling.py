@@ -56,6 +56,40 @@ def shifted(arr, off, fill):
     return out
 
 
+def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
+                  reverse: bool) -> jax.Array:
+    """Propagate the running min of ``values`` along contiguous True-runs of
+    ``mask`` along ``axis`` — a segmented min-scan via lax.associative_scan.
+
+    Each element is the function f(x) = gate ? min(x, v) : v; composition of
+    such functions is (gA & gB, gB ? min(cA, cB) : cB), which is associative,
+    so the whole propagation is one log-depth scan (no gathers — the
+    TPU-friendly formulation of flood labeling).
+    """
+    # Gate between an element and its predecessor in scan direction.
+    off = [0] * mask.ndim
+    off[axis] = -1 if reverse else 1
+    prev_mask = shifted(mask, tuple(off), False)
+    gate = mask & prev_mask
+
+    # Hillis-Steele doubling: log2(n) static steps of shift+select+min.
+    # (lax.associative_scan generates size-dependent slice trees whose XLA
+    # compile time blows up at megapixel scales; this unrolled form compiles
+    # fast and runs as ~2*log2(n) fused passes.)
+    n = values.shape[axis]
+    g, v = gate, values
+    d = 1
+    while d < n:
+        off_d = [0] * mask.ndim
+        off_d[axis] = -d if reverse else d
+        ga = shifted(g, tuple(off_d), False)
+        va = shifted(v, tuple(off_d), _INF)
+        v = jnp.where(g, jnp.minimum(va, v), v)
+        g = g & ga
+        d *= 2
+    return jnp.where(mask, v, values)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512):
     """Label connected components of a boolean mask.
@@ -63,6 +97,13 @@ def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512
     connectivity follows skimage.measure.label semantics: 1 = faces only,
     ndim = full neighborhood (default). Returns int32 labels with arbitrary
     positive ids (use relabel_sequential for 1..n ids).
+
+    Algorithm: iterative min-label propagation where each round does one
+    neighbor-min step (mixes across rows/columns/diagonals) followed by
+    segmented min-scans along every axis in both directions (each scan
+    propagates labels across an entire straight run at once). Rounds repeat
+    under a while_loop until fixpoint — a handful of rounds for typical
+    masks, all dense vector work with zero gathers.
     """
     ndim = mask.ndim
     if connectivity is None:
@@ -70,30 +111,26 @@ def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512
     shifts = _neighbor_shifts(ndim, connectivity)
     size = mask.size
     lin = (jnp.arange(size, dtype=jnp.int32) + 1).reshape(mask.shape)
-    lbl0 = jnp.where(mask, lin, 0)
-
-    def resolve(lbl):
-        """lbl <- lbl[lbl - 1]: one pointer-jump through the label array."""
-        flat = lbl.reshape(-1)
-        src = jnp.maximum(lbl, 1) - 1
-        return jnp.where(lbl > 0, flat[src.reshape(-1)].reshape(lbl.shape), 0)
+    lbl0 = jnp.where(mask, lin, _INF)
 
     def body(state):
         lbl, _, it = state
-        cur = jnp.where(mask, lbl, _INF)
+        cur = lbl
         nb = cur
         for off in shifts:
             nb = jnp.minimum(nb, shifted(cur, off, _INF))
-        new = jnp.where(mask, jnp.minimum(cur, nb), _INF)
-        new = jnp.where(mask, new, 0)
-        new = resolve(resolve(new))
-        return new, jnp.any(new != lbl), it + 1
+        cur = jnp.where(mask, jnp.minimum(cur, nb), _INF)
+        for axis in range(ndim):
+            cur = _run_min_scan(cur, mask, axis, False)
+            cur = _run_min_scan(cur, mask, axis, True)
+        return cur, jnp.any(cur != lbl), it + 1
 
     def cond(state):
         return state[1] & (state[2] < max_iters)
 
-    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
-    return lbl
+    lbl, _, _ = jax.lax.while_loop(
+        cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(mask, lbl, 0)
 
 
 @jax.jit
@@ -151,6 +188,40 @@ def remove_small_objects(mask: jax.Array, min_size: int, connectivity: int | Non
     counts = jnp.zeros((size + 1,), jnp.int32).at[flat].add(1)
     keep = counts[flat].reshape(mask.shape) >= min_size
     return mask & keep
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def filter_and_relabel(labels: jax.Array, min_size: int,
+                       drop_border: bool = True):
+    """Fused remove_small_labels + clear_border + relabel_sequential.
+
+    One counts scatter, one border scatter, one cumsum, and a single gather
+    build the final sequential labels — vs 3 gathers + 3 scatters when the
+    three ops run separately (the gather is the expensive primitive on TPU).
+    Returns (new_labels, n_labels).
+    """
+    size = labels.size
+    flat = jnp.clip(labels.reshape(-1).astype(jnp.int32), 0, size)
+    counts = jnp.zeros((size + 1,), jnp.int32).at[flat].add(1)
+    if drop_border:
+        border = jnp.zeros(labels.shape, bool)
+        for ax in range(labels.ndim):
+            idx = [slice(None)] * labels.ndim
+            idx[ax] = 0
+            border = border.at[tuple(idx)].set(True)
+            idx[ax] = labels.shape[ax] - 1
+            border = border.at[tuple(idx)].set(True)
+        touched = jnp.zeros((size + 1,), jnp.int32).at[
+            jnp.where(border.reshape(-1), flat, 0)
+        ].set(1)
+        keep = (counts >= min_size) & (touched == 0)
+    else:
+        keep = counts >= min_size
+    keep = keep.at[0].set(False)
+    newid = jnp.cumsum(keep.astype(jnp.int32))
+    value_tbl = jnp.where(keep, newid, 0).astype(jnp.int32)
+    out = value_tbl[flat].reshape(labels.shape)
+    return out, newid[-1]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -1,0 +1,174 @@
+"""Fully fused single-program FOV pipeline (the benchmark/production path).
+
+One jitted XLA program takes a multi-laser FOV from raw per-laser planes all
+the way to per-cell barcode calls: FFT registration -> NL-means -> fused
+LP-CV enhancement -> KMeans -> morphology seeding -> CCL -> watershed ->
+sequential relabel -> segment_sum measurement -> check heads -> gated-metric
+kNN classification. No host round-trips; every per-cell tensor is bounded by
+a static max_cells so shapes stay static.
+
+This is the batched replacement for the reference's Snakemake per-FOV process
+fan-out (SURVEY.md §2.1 parallelism table): vmap it over a stacked FOV axis
+and shard that axis over a device mesh (parallel/fov_batch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hiprfish_tpu.config import SegmentationConfig
+from hiprfish_tpu.ops import denoise as dn
+from hiprfish_tpu.ops import kmeans as km
+from hiprfish_tpu.ops import labeling as lab
+from hiprfish_tpu.ops import line_profile as lp
+from hiprfish_tpu.ops import morphology as morph
+from hiprfish_tpu.ops import regionprops as rp
+from hiprfish_tpu.ops import register as reg
+from hiprfish_tpu.models import metrics
+from hiprfish_tpu.models.classifier import _mlp_logit
+from hiprfish_tpu.ops import watershed as ws
+
+
+class FovResult(NamedTuple):
+    segmentation: jax.Array   # (H, W) int32 sequential labels
+    n_cells: jax.Array        # scalar int32
+    avgint: jax.Array         # (max_cells, C) mean spectra (row 0 unused)
+    avgint_norm: jax.Array    # row-max normalized
+    code_idx: jax.Array       # (max_cells,) predicted class index
+    max_prob: jax.Array       # (max_cells,) kNN vote fraction
+    valid: jax.Array          # (max_cells,) bool cell-slot validity
+
+
+def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
+                        max_cells: int, denoise: bool = True):
+    """Pure-device LP-CV segmentation of one FOV (multispecies semantics,
+    multispecies_spectral_image_measurement.py:78-157). ``stack`` is a tuple
+    of per-laser (H, W, C_l) arrays."""
+    projections = [jnp.sum(img, axis=2) for img in stack]
+    ref0 = projections[0]
+    parts = [stack[0]]
+    for i in range(1, len(stack)):
+        s = reg.register_translation(ref0, projections[i])
+        shifted, _ = reg.apply_shift_2d(stack[i], s)
+        parts.append(shifted)
+    registered = jnp.concatenate(parts, axis=2)
+    if calibration is not None:
+        registered = registered / calibration
+    fov_sum = jnp.sum(registered, axis=2)
+    sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
+    if denoise:
+        den = dn.denoise_nl_means(
+            sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance)
+    else:
+        den = sum_norm
+    enhanced = lp.lp_cv_enhance_2d(den, cfg.patch_size, cfg.phi_range)
+
+    bkg = km.brightest_cluster_mask(den, 2, cfg.kmeans_iters)
+    # Intersect with the intensity background filter before the morphology
+    # chain (see segment2d.segment_lpcv_from_registered): same cell seeds,
+    # compact CCL inputs.
+    fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
+    seeds_core = morph.binary_fill_holes(
+        lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 2))
+    seed_mask = seeds_core & morph.binary_fill_holes(fg)
+
+    markers_all, _ = lab.relabel_sequential(
+        lab.label(seed_mask, 2, cfg.ccl_max_iters))
+    markers = markers_all * bkg.astype(jnp.int32)
+    seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
+                       cfg.watershed_max_iters)
+    seg, n_cells = lab.filter_and_relabel(seg, cfg.lp_cell_min_size)
+    seg = jnp.minimum(seg, max_cells - 1)  # static per-cell bound
+    return seg, n_cells, registered
+
+
+def classify_device(avgint_norm, check_params, check_blocks, scaler_mean,
+                    scaler_scale, train_features, train_labels, n_classes,
+                    blocks, check_slice, n_channels, k, temperature):
+    """Feature build + check heads + gated-metric kNN vote for a static
+    (max_cells, C) spectra block (cf. models/classifier.py, kept free-function
+    so it inlines into the fused program)."""
+    x = avgint_norm[:, :n_channels]
+    scaled = x if scaler_mean is None else (x - scaler_mean) / scaler_scale
+    wmax = check_params[0]["w1"].shape[0]
+    checks = []
+    for params, (lo, hi) in zip(check_params, check_blocks):
+        xin = scaled[:, lo:hi] if hi <= n_channels else avgint_norm[:, lo:hi]
+        xin = jnp.pad(xin, ((0, 0), (0, wmax - (hi - lo))))
+        checks.append((_mlp_logit(params, xin) > 0).astype(jnp.float32))
+    feats = jnp.concatenate([avgint_norm, jnp.stack(checks, axis=1)], axis=1)
+
+    d = metrics.block_cosine_distance_matrix(feats, train_features, blocks,
+                                             check_slice)
+    # approx_max_k is the TPU-native k-NN selection (bitonic partial sort);
+    # exact top_k lowers to a full sort and dominates the pipeline.
+    neg_d, idx = jax.lax.approx_max_k(-d, k, recall_target=0.99)
+    nb = train_labels[idx]
+    w = jax.nn.softmax(neg_d * temperature, axis=1)
+    n = feats.shape[0]
+    scores = jnp.zeros((n, n_classes), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], nb.shape)
+    scores = scores.at[rows, nb].add(w)
+    return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
+             clf_static, denoise: bool = True) -> FovResult:
+    """The flagship forward step: raw per-laser planes -> barcode calls.
+
+    clf_arrays: dict of classifier arrays (train_features (N, D) f32,
+      train_labels (N,) i32, check params, optional scaler, calibration).
+    clf_static: tuple(n_classes, blocks, check_slice, n_channels, k,
+      temperature, check_blocks).
+    """
+    (n_classes, blocks, check_slice, n_channels, k, temperature,
+     check_blocks) = clf_static
+    seg, n_cells, registered = segment_lpcv_device(
+        stack, clf_arrays.get("calibration"), cfg, max_cells, denoise)
+    avgint = rp.mean_intensities(seg, registered, max_cells)
+    avgint_norm = avgint / jnp.maximum(
+        jnp.max(avgint, axis=1, keepdims=True), 1e-12)
+    code_idx, max_prob = classify_device(
+        avgint_norm,
+        clf_arrays["check_params"],
+        check_blocks,
+        clf_arrays.get("scaler_mean"),
+        clf_arrays.get("scaler_scale"),
+        clf_arrays["train_features"],
+        clf_arrays["train_labels"],
+        n_classes, blocks, check_slice, n_channels, k, temperature,
+    )
+    valid = jnp.arange(max_cells) <= n_cells
+    valid = valid & (jnp.arange(max_cells) > 0)
+    return FovResult(seg, n_cells, avgint, avgint_norm, code_idx, max_prob,
+                     valid)
+
+
+def classifier_to_device_args(clf):
+    """Split a SpectralClassifier into (arrays pytree, static tuple) for
+    fov_step."""
+    arrays = {
+        "train_features": jnp.asarray(clf.train_features),
+        "train_labels": jnp.asarray(clf.train_labels),
+        "check_params": tuple(
+            {k: jnp.asarray(v) for k, v in p.items()} for p in clf.check_params
+        ),
+    }
+    if clf.scaler_mean is not None:
+        arrays["scaler_mean"] = jnp.asarray(clf.scaler_mean, jnp.float32)
+        arrays["scaler_scale"] = jnp.asarray(clf.scaler_scale, jnp.float32)
+    static = (
+        len(clf.codebook),
+        tuple(clf.blocks),
+        tuple(clf.check_slice),
+        clf.n_channels,
+        clf.n_neighbors,
+        clf.temperature,
+        tuple(clf.check_blocks),
+    )
+    return arrays, static

@@ -1,0 +1,311 @@
+"""3D biofilm segmentation family (L2) + volumetric measurement (L3/L4).
+
+Covers the reference's 3D paths (hiprfish_imaging_biofilm_analysis.py):
+  * t-stack registration (average & per-tile, :134-236)
+  * microscope-tile stitching with overlap-count blending (:1064-1101)
+  * full 3D LP-CV segmentation, xy-chunked so the (X, Y, Z, 72) orientation
+    tensor never materializes for the full volume (:778-861, :1105-1126)
+  * per-z-slice 2D segmentation of a z-stack (:664-776, :955-1007)
+  * volumetric measurement + classification + bvox export (:1359-1417)
+
+Chunking note: the fused 3D LP-CV kernel needs (72, cx, cy, Z) scratch per
+chunk; with the default 64-pixel xy chunks and halo 5 that is ~200 MB —
+the TPU-native equivalent of the reference's 100x100 chunk loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from hiprfish_tpu.config import SegmentationConfig
+from hiprfish_tpu.io import outputs
+from hiprfish_tpu.ops import kmeans as km
+from hiprfish_tpu.ops import labeling as lab
+from hiprfish_tpu.ops import line_profile as lp
+from hiprfish_tpu.ops import morphology as morph
+from hiprfish_tpu.ops import regionprops as rp
+from hiprfish_tpu.ops import register as reg
+from hiprfish_tpu.ops import watershed as ws
+from hiprfish_tpu.pipeline import measure as meas
+from hiprfish_tpu.pipeline import segment2d
+
+
+# ---------------------------------------------------------------------------
+# Registration / stitching
+# ---------------------------------------------------------------------------
+
+
+def register_tstack_average(volumes):
+    """Average a time series of (X, Y, Z, C) volumes after registering each
+    to t=0 on the channel-summed volume (biofilm_analysis.py:134-165)."""
+    ref = jnp.asarray(volumes[0])
+    ref_sum = jnp.sum(ref, axis=3)
+    acc = ref
+    for i in range(1, len(volumes)):
+        vol = jnp.asarray(volumes[i])
+        shift = reg.register_translation_3d(ref_sum, jnp.sum(vol, axis=3))
+        shifted, _ = reg.apply_shift_3d(vol, shift)
+        acc = acc + shifted
+    return acc / len(volumes)
+
+
+def register_volume_stack(volume_stack, log_domain: bool = True):
+    """Register per-laser (X, Y, Z, C_l) volumes to laser 0 on summed
+    volumes and concatenate channels (biofilm_analysis.py:424-450)."""
+    sums = [jnp.sum(jnp.asarray(v), axis=3) for v in volume_stack]
+    if log_domain:
+        sums = [jnp.log(s + 1e-8) for s in sums]
+    parts = [jnp.asarray(volume_stack[0])]
+    for i in range(1, len(volume_stack)):
+        shift = reg.register_translation_3d(sums[0], sums[i])
+        shifted, _ = reg.apply_shift_3d(jnp.asarray(volume_stack[i]), shift)
+        parts.append(shifted)
+    return jnp.concatenate(parts, axis=3)
+
+
+def stitch_tiles(tile_volumes, tile_masks, grid, tile_shape, overlap: int,
+                 out_shape, pad: int = 10):
+    """Overlap-count-blended stitching of microscope tiles into one volume
+    (biofilm_analysis.py:1077-1101): chain registration along the first
+    row/column, accumulate intensity and hit counts, divide."""
+    gy, gx = grid
+    shift_full = np.zeros((gy, gx, 3))
+    for i in range(gy):
+        for j in range(gx):
+            if i == 0 and j == 0:
+                continue
+            if j == 0:
+                a = tile_volumes[(i - 1) * gx][-50:]
+                b = tile_volumes[i * gx][:50]
+            else:
+                a = tile_volumes[i * gx + j - 1][:, -50:]
+                b = tile_volumes[i * gx + j][:, :50]
+            shift_full[i, j] = np.asarray(
+                reg.register_translation_3d(jnp.asarray(a), jnp.asarray(b)))
+    full = np.zeros(out_shape, np.float32)
+    count = np.zeros(out_shape, np.float32)
+    ty, tx, tz = tile_shape
+    step_y = ty - overlap
+    step_x = tx - overlap
+    for i in range(gy):
+        for j in range(gx):
+            sy = int(i * step_y + shift_full[: i + 1, 0, 0].sum()
+                     + shift_full[i, 1: j + 1, 0].sum()) + pad
+            sx = int(j * step_x + shift_full[i, : j + 1, 1].sum()) + pad
+            sz = int(shift_full[i, : j + 1, 2].sum()) + pad
+            vol = np.asarray(tile_volumes[i * gx + j])
+            msk = np.asarray(tile_masks[i * gx + j]).astype(np.float32)
+            full[sy:sy + ty, sx:sx + tx, sz:sz + tz] += vol * msk
+            count[sy:sy + ty, sx:sx + tx, sz:sz + tz] += msk
+    count[count == 0] = 1
+    return full / count
+
+
+# ---------------------------------------------------------------------------
+# Chunked 3D LP-CV enhancement
+# ---------------------------------------------------------------------------
+
+
+def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
+                             chunk_xy: int = 64):
+    """Fused 3D LP-CV enhancement, xy-chunked with halo so the per-chunk
+    (72, cx, cy, Z) scratch stays in budget (the reference's chunk loop,
+    biofilm_analysis.py:1105-1126, as halo'd dynamic slices)."""
+    vol = jnp.asarray(volume, jnp.float32)
+    x, y, z = vol.shape
+    pad = (cfg.patch_size - 1) // 2
+    padded = jnp.pad(vol, pad, mode="edge")
+
+    @jax.jit
+    def chunk(cx0, cy0):
+        block = jax.lax.dynamic_slice(
+            padded, (cx0, cy0, 0),
+            (chunk_xy + 2 * pad, chunk_xy + 2 * pad, z + 2 * pad))
+        rnc = lp.line_profile_3d(block, cfg.patch_size, cfg.theta_range,
+                                 cfg.phi_range)
+        return lp._lp_cv_combine(rnc)
+
+    out = np.zeros((x, y, z), np.float32)
+    for cx0 in range(0, x, chunk_xy):
+        for cy0 in range(0, y, chunk_xy):
+            block = np.asarray(chunk(jnp.int32(cx0), jnp.int32(cy0)))
+            out[cx0:cx0 + chunk_xy, cy0:cy0 + chunk_xy] = (
+                block[: min(chunk_xy, x - cx0), : min(chunk_xy, y - cy0)])
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# 3D segmentation
+# ---------------------------------------------------------------------------
+
+
+def segment_3d(volume_stack, cfg: SegmentationConfig = SegmentationConfig(),
+               max_cells: int = 16384, chunk_xy: int = 64):
+    """3D LP-CV segmentation of per-laser volumes
+    (generate_3d_segmentation_memory_efficient, biofilm_analysis.py:778-861).
+
+    Returns (segmentation (X,Y,Z) int32 sequential, n_cells, registered
+    (X,Y,Z,C), enhanced)."""
+    registered = register_volume_stack(volume_stack)
+    vol_sum = jnp.sum(registered, axis=3)
+    vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
+
+    enhanced = lp_cv_enhance_3d_chunked(vol_norm, cfg, chunk_xy)
+
+    pos = enhanced > 0
+    fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & pos
+    interior = km.brightest_cluster_mask(enhanced, 3, cfg.kmeans_iters) & pos
+    interior = morph.binary_opening(interior)
+    interior = lab.remove_small_objects(interior, cfg.lp_seed_min_size, 3)
+    seeds_mask = morph.binary_fill_holes(interior, 1) & morph.binary_fill_holes(fg, 1)
+
+    bkg = km.brightest_cluster_mask(jnp.log10(vol_norm + 1e-8), 2,
+                                    cfg.kmeans_iters)
+    markers, _ = lab.relabel_sequential(
+        lab.label(seeds_mask & bkg, 3, cfg.ccl_max_iters))
+    seg = ws.watershed(-(enhanced * bkg), markers, seeds_mask | (fg & bkg), 1,
+                       cfg.watershed_max_iters)
+    seg, n_cells = lab.relabel_sequential(seg)
+    seg = jnp.minimum(seg, max_cells - 1)
+    return seg, n_cells, registered, enhanced
+
+
+def segment_zstack_slice(image_stack_4d, z: int,
+                         cfg: SegmentationConfig = SegmentationConfig(),
+                         max_cells: int = 4096):
+    """Per-z-slice 2D segmentation of a pre-registered (X, Y, Z, C) stack
+    (generate_2d_segmentation_from_zstack_t_sum, biofilm_analysis.py:721-776)."""
+    plane = jnp.asarray(image_stack_4d)[:, :, z, :]
+    return segment2d.segment_lpcv_from_registered(plane, cfg, max_cells,
+                                                  "biofilm"), plane
+
+
+# ---------------------------------------------------------------------------
+# Measurement front-ends (CLI glue)
+# ---------------------------------------------------------------------------
+
+
+def measure_biofilm_images_2d_from_zstack_cli(sample, clf, taxon_lookup,
+                                              z_indices, cfg=SegmentationConfig(),
+                                              max_cells=4096):
+    """Z-slice biofilm measurement (measure_biofilm_images_2d_from_zstack,
+    biofilm_analysis.py:1298-1357): per requested z, segment the slice and
+    emit the per-slice artifact set."""
+    from hiprfish_tpu.config import SEVEN_BIT
+    from hiprfish_tpu.io import images as iio
+    from hiprfish_tpu.pipeline import biofilm as bf
+
+    volumes = [iio.load_image_zstack_fixed_t(f"{sample}_{laser}.npy")
+               if not _exists(f"{sample}_{laser}.czi")
+               else iio.load_image_zstack_fixed_t(f"{sample}_{laser}.czi")
+               for laser in SEVEN_BIT.lasers]
+    stack4d = register_volume_stack(volumes)
+    for z in z_indices:
+        res, plane = segment_zstack_slice(stack4d, z, cfg, max_cells)
+        n = int(res.n_cells)
+        tag = f"{sample}_z_{z}"
+        np.save(f"{tag}_registered.npy", np.asarray(plane))
+        np.save(f"{tag}_seg.npy", np.asarray(res.segmentation))
+        np.save(f"{tag}_adjacency_seg.npy", np.asarray(res.adjacency))
+        avgint, avgint_norm = meas.measure_fov(res.segmentation, plane, n,
+                                               max_cells)
+        codes, max_prob, probs, feats = clf.classify(jnp.asarray(avgint_norm))
+        props = {k: np.asarray(v)[1:n + 1] for k, v in
+                 rp.shape_props_2d(res.segmentation, max_cells).items()}
+        cell_info = pd.DataFrame(np.asarray(feats))
+        col = cell_info.shape[1]
+        cell_info[col] = codes
+        cell_info[col + 1] = sample
+        cell_info[col + 2] = np.arange(1, n + 1)
+        cell_info[col + 3] = props["centroid_r"]
+        cell_info[col + 4] = props["centroid_c"]
+        cell_info[col + 5] = props["major_axis_length"]
+        cell_info[col + 6] = props["minor_axis_length"]
+        cell_info[col + 7] = props["eccentricity"]
+        cell_info[col + 8] = props["orientation"]
+        cell_info[col + 9] = props["area"]
+        cell_info.to_csv(f"{tag}_cell_information.csv", index=None, header=None)
+        ident = bf.paint_taxon_identification(
+            np.asarray(res.segmentation), codes, taxon_lookup, n)
+        np.save(f"{tag}_identification.npy", ident)
+        pairs = bf.adjacency_label_pairs(np.asarray(res.adjacency))
+        mat, _ = bf.adjacency_matrix_from_pairs(pairs, codes, taxon_lookup)
+        mat.to_csv(f"{tag}_adjacency_matrix.csv")
+
+
+def measure_biofilm_images_3d(sample, clf, taxon_lookup,
+                              cfg=SegmentationConfig(), max_cells=16384,
+                              save_bvox=True):
+    """Volumetric biofilm measurement (measure_biofilm_images_3d,
+    biofilm_analysis.py:1359-1417, with the reference's broken undefined-
+    variable path repaired): 3D segment -> per-cell volume spectra ->
+    classification -> 3D identification + bvox export."""
+    from hiprfish_tpu.config import SEVEN_BIT
+    from hiprfish_tpu.io import images as iio
+    from hiprfish_tpu.pipeline import biofilm as bf
+
+    volumes = []
+    for laser in SEVEN_BIT.lasers:
+        fn = (f"{sample}_{laser}.czi" if _exists(f"{sample}_{laser}.czi")
+              else f"{sample}_{laser}.npy")
+        volumes.append(iio.load_image_zstack_fixed_t(fn))
+    seg, n_cells, registered, enhanced = segment_3d(volumes, cfg, max_cells)
+    n = int(n_cells)
+    np.save(f"{sample}_registered.npy", np.asarray(registered))
+    np.save(f"{sample}_seg.npy", np.asarray(seg))
+
+    avgint = np.asarray(rp.mean_intensities(seg, registered, max_cells))[1:n + 1]
+    avgint_norm = avgint / np.maximum(avgint.max(axis=1, keepdims=True), 1e-12)
+    codes, max_prob, probs, feats = clf.classify(jnp.asarray(avgint_norm))
+    props3 = {k: np.asarray(v)[1:n + 1] for k, v in
+              rp.shape_props_3d(seg, max_cells).items()}
+    nch = clf.n_channels
+    cell_info = pd.DataFrame(
+        np.asarray(feats),
+        columns=[f"channel_{i}" for i in range(nch)]
+        + [f"intensity_classification_{i}"
+           for i in range(np.asarray(feats).shape[1] - nch)])
+    cell_info["cell_barcode"] = codes
+    cell_info["max_probability"] = max_prob
+    cell_info["sample"] = sample
+    cell_info["label"] = np.arange(1, n + 1)
+    cell_info["centroid_x"] = props3["centroid_x"]
+    cell_info["centroid_y"] = props3["centroid_y"]
+    cell_info["centroid_z"] = props3["centroid_z"]
+    cell_info["area"] = props3["area"]
+    cell_info["type"] = "cell"
+    debris = ((cell_info.area.values > 100000)
+              | (cell_info.max_probability.values <= cfg.debris_prob_min))
+    cell_info.loc[debris, "type"] = "debris"
+    cell_info.to_csv(f"{sample}_cell_information.csv", index=None)
+
+    seg_np = np.asarray(seg)
+    ident = _paint_3d_identification(seg_np, codes, taxon_lookup, n)
+    np.save(f"{sample}_identification.npy", ident)
+    if save_bvox:
+        outputs.save_identification_bvox(ident, sample)
+        outputs.save_bvox(np.asarray(jnp.sum(registered, axis=3)),
+                          f"{sample}_raw_image.bvox")
+    return cell_info
+
+
+def _paint_3d_identification(seg, codes, taxon_lookup, n_cells):
+    from matplotlib.colors import hsv_to_rgb
+
+    code_to_rgb = {
+        str(row.code): hsv_to_rgb([row.H, row.S, row.V])
+        for row in taxon_lookup.itertuples()
+    }
+    lut = np.zeros((n_cells + 1, 3), np.float32)
+    for i, c in enumerate(codes):
+        lut[i + 1] = code_to_rgb.get(str(c).split("_")[0], (1, 1, 1))
+    return lut[np.clip(seg, 0, n_cells)]
+
+
+def _exists(path):
+    import os
+
+    return os.path.exists(path)

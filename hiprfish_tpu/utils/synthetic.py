@@ -92,15 +92,22 @@ def make_fov(
     jitter_px = 4.0
     yy, xx = np.mgrid[:h, :w]
 
-    image = np.zeros((h, w, layout.n_channels), np.float64)
+    image = np.zeros((h, w, layout.n_channels), np.float32)
     truth = np.zeros((h, w), np.int32)
+    win = int(np.ceil(max(cell_axes))) + 2
     for i, code in enumerate(barcodes):
         cy = ys[i // grid] + rng.uniform(-1, 1) * jitter_px
         cx = xs[i % grid] + rng.uniform(-1, 1) * jitter_px
         theta = rng.uniform(0, np.pi)
         a, b = cell_axes  # semi-minor, semi-major
-        dy = yy - cy
-        dx = xx - cx
+        # Rasterize only the cell's bounding window (O(cells * window), not
+        # O(cells * image)).
+        r0 = max(0, int(cy) - win)
+        r1 = min(h, int(cy) + win + 1)
+        c0 = max(0, int(cx) - win)
+        c1 = min(w, int(cx) + win + 1)
+        dy = yy[r0:r1, c0:c1] - cy
+        dx = xx[r0:r1, c0:c1] - cx
         u = dy * np.cos(theta) + dx * np.sin(theta)
         v = -dy * np.sin(theta) + dx * np.cos(theta)
         r2 = (u / b) ** 2 + (v / a) ** 2
@@ -111,10 +118,12 @@ def make_fov(
         profile = np.where(inside, 1.0 - 0.2 * np.sqrt(np.clip(r2, 0, 1)), 0.0)
         spec = barcode_spectrum(layout, code, spectra)
         cell_gain = brightness * rng.uniform(0.8, 1.2)
-        image += profile[:, :, None] * spec[None, None, :] * cell_gain
-        truth[inside & (truth == 0)] = i + 1
+        image[r0:r1, c0:c1] += profile[:, :, None] * spec[None, None, :] * cell_gain
+        tw = truth[r0:r1, c0:c1]
+        tw[inside & (tw == 0)] = i + 1
 
-    image += rng.rand(h, w, layout.n_channels) * noise
+    noise_rng = np.random.default_rng(seed + 1)
+    image += noise_rng.random((h, w, layout.n_channels), np.float32) * noise
 
     # Split into per-laser blocks and apply per-laser shifts.
     stack = []

@@ -1,0 +1,160 @@
+"""Biofilm 2D measurement (adjacency matrix, debris filter, cell_information
+schema) and the 3D segmentation family on synthetic volumes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import jax.numpy as jnp
+
+from hiprfish_tpu.config import SEVEN_BIT, ClassifierConfig, SegmentationConfig
+from hiprfish_tpu.models import train as mtrain
+from hiprfish_tpu.models.classifier import train_classifier
+from hiprfish_tpu.pipeline import biofilm, segment3d
+from hiprfish_tpu.utils import synthetic
+
+CODES = [1, 9, 65, 127, 34, 88]
+
+
+def _quick_classifier(codes, seed=0):
+    layout = SEVEN_BIT
+    rng = np.random.RandomState(seed)
+    lut = synthetic.fluorophore_spectra(layout)
+    rows, code_strs = [], []
+    for c in codes:
+        spec = synthetic.barcode_spectrum(layout, c, lut)
+        r = rng.uniform(0.7, 1.3, (40, 1)) * spec[None, :] \
+            + rng.randn(40, layout.n_channels) * 0.02
+        rows.append(np.clip(r, 0, None))
+        code_strs += [layout.code_str(c)] * 40
+    spectra = np.concatenate(rows).astype(np.float32)
+    spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
+    checks = mtrain.check_bits_for_codes(layout, code_strs)
+    import jax
+
+    return train_classifier(jax.random.PRNGKey(0), layout, spectra,
+                            code_strs, checks,
+                            ClassifierConfig(check_train_steps=200))
+
+
+def _taxon_lookup(codes):
+    return biofilm.make_taxon_lookup(pd.DataFrame({
+        "target_taxon": [100 + i for i in range(len(codes))],
+        "code": [SEVEN_BIT.code_str(c) for c in codes],
+    }))
+
+
+def test_adjacency_label_pairs():
+    seg = np.zeros((8, 8), np.int32)
+    seg[1:4, 1:4] = 1
+    seg[1:4, 4:7] = 2   # touches 1
+    seg[6:8, 6:8] = 3   # isolated
+    pairs = biofilm.adjacency_label_pairs(seg)
+    assert pairs.tolist() == [[1, 2]]
+
+
+def test_adjacency_matrix_from_pairs():
+    lookup = _taxon_lookup([1, 9])
+    pairs = np.array([[1, 2], [2, 3]])
+    codes = ["0000001", "0001001", "0000001"]
+    mat, mat_f = biofilm.adjacency_matrix_from_pairs(
+        pairs, codes, lookup, ["cell", "cell", "debris"])
+    c1, c9 = SEVEN_BIT.code_str(1), SEVEN_BIT.code_str(9)
+    assert mat.loc[c1, c9] == 2  # edges (1,2) and (2,3)
+    assert mat.loc[c9, c1] == 2
+    assert mat_f.loc[c1, c9] == 1  # (2,3) filtered out
+
+
+@pytest.mark.slow
+def test_biofilm_2d_measurement_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    clf = _quick_classifier(CODES)
+    lookup = _taxon_lookup(CODES)
+    fov = synthetic.make_fov(SEVEN_BIT, CODES, shape=(192, 192), seed=5,
+                             cell_axes=(7.0, 12.0))
+    cell_info = biofilm.measure_biofilm_images_2d(
+        "sampleA", clf, lookup, image_stack=fov["stack"],
+        max_cells=256, save_png=False)
+    assert cell_info.shape[0] >= len(CODES)
+    # Schema: channels, check bits, barcode, probs, shape columns, type.
+    for col in ("cell_barcode", "max_probability", "centroid_x", "minor_axis",
+                "area", "max_intensity", "type"):
+        assert col in cell_info.columns
+    import os
+
+    for suffix in ("_seg.npy", "_adjacency_seg.npy", "_epithelial_area.npy",
+                   "_avgint.csv", "_cell_information.csv",
+                   "_cell_information_filtered.csv", "_adjacency_matrix.csv"):
+        assert os.path.exists("sampleA" + suffix), suffix
+    # Barcode calls correct for confident cells.
+    good = cell_info[cell_info.max_probability > 0.95]
+    want = {SEVEN_BIT.code_str(c) for c in CODES}
+    assert set(good.cell_barcode) <= want
+    assert len(set(good.cell_barcode)) >= 4
+
+
+def _make_volume_stack(codes, shape=(64, 64, 24), seed=0):
+    """Synthetic per-laser (X, Y, Z, C_l) volumes with ellipsoidal cells."""
+    layout = SEVEN_BIT
+    rng = np.random.RandomState(seed)
+    x, y, z = shape
+    lut = synthetic.fluorophore_spectra(layout)
+    vol = rng.rand(x, y, z, layout.n_channels).astype(np.float32) * 0.01
+    truth = np.zeros(shape, np.int32)
+    grid = int(np.ceil(len(codes) ** 0.5))
+    xs = np.linspace(12, x - 12, grid)
+    ys = np.linspace(12, y - 12, grid)
+    xx, yy, zz = np.mgrid[:x, :y, :z]
+    for i, c in enumerate(codes):
+        cx, cy, cz = xs[i // grid], ys[i % grid], z / 2
+        r2 = (((xx - cx) / 6.0) ** 2 + ((yy - cy) / 4.0) ** 2
+              + ((zz - cz) / 5.0) ** 2)
+        inside = r2 <= 1.0
+        spec = synthetic.barcode_spectrum(layout, c, lut)
+        profile = np.where(inside, 1.0 - 0.2 * np.sqrt(np.clip(r2, 0, 1)), 0.0)
+        vol += profile[..., None] * spec[None, None, None, :]
+        truth[inside & (truth == 0)] = i + 1
+    stack = [vol[..., lo:hi] for lo, hi in layout.blocks]
+    return stack, truth
+
+
+@pytest.mark.slow
+def test_segment_3d_volume():
+    codes = [1, 9, 65, 127]
+    stack, truth = _make_volume_stack(codes)
+    seg, n_cells, registered, enhanced = segment3d.segment_3d(
+        stack, SegmentationConfig(kmeans_iters=20), max_cells=64, chunk_xy=32)
+    n = int(n_cells)
+    assert n >= len(codes)
+    seg = np.asarray(seg)
+    # Every ground-truth cell should overlap a segmented cell.
+    hit = 0
+    for t in range(1, len(codes) + 1):
+        labs = seg[truth == t]
+        hit += (labs > 0).mean() > 0.3
+    assert hit >= len(codes) - 1
+
+
+def test_register_tstack_average():
+    rng = np.random.RandomState(0)
+    base = rng.rand(32, 32, 8, 3).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    base = ndi.gaussian_filter(base, (2, 2, 1, 0)).astype(np.float32)
+    moved = np.roll(base, (2, -1, 0), axis=(0, 1, 2))
+    avg = np.asarray(segment3d.register_tstack_average([base, moved]))
+    # Registered average should be closer to base than the naive average.
+    naive = (base + moved) / 2
+    err_reg = np.abs(avg[4:-4, 4:-4] - base[4:-4, 4:-4]).mean()
+    err_naive = np.abs(naive[4:-4, 4:-4] - base[4:-4, 4:-4]).mean()
+    assert err_reg < err_naive
+
+
+def test_stitch_tiles_blend():
+    rng = np.random.RandomState(0)
+    tile = rng.rand(20, 20, 4).astype(np.float32)
+    mask = np.ones_like(tile, bool)
+    out = segment3d.stitch_tiles(
+        [tile, tile, tile, tile], [mask] * 4, (2, 2), (20, 20, 4),
+        overlap=4, out_shape=(60, 60, 24), pad=10)
+    assert out.shape == (60, 60, 24)
+    assert out.max() <= tile.max() + 1e-5  # blending never exceeds inputs

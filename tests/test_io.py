@@ -1,0 +1,102 @@
+"""I/O layer tests: CZI round-trip, tables, output writers."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiprfish_tpu.io import czi, images, outputs, tables
+
+
+def test_czi_roundtrip_single_plane(tmp_path, rng):
+    plane = rng.rand(37, 45, 5).astype(np.float32)
+    path = str(tmp_path / "x.czi")
+    czi.write_czi(path, plane)
+    f = czi.CziFile(path)
+    assert (f.size_y, f.size_x, f.size_c, f.size_z, f.size_t) == (37, 45, 5, 1, 1)
+    got = f.load_plane()
+    np.testing.assert_allclose(got, plane, rtol=1e-6)
+    assert "ImageDocument" in f.metadata_xml
+
+
+def test_czi_roundtrip_zstack(tmp_path, rng):
+    vol = rng.rand(4, 16, 18, 3).astype(np.float32)  # (Z, Y, X, C)
+    path = str(tmp_path / "z.czi")
+    czi.write_czi(path, vol)
+    f = czi.CziFile(path)
+    assert f.size_z == 4
+    for z in range(4):
+        np.testing.assert_allclose(f.load_plane(z=z), vol[z], rtol=1e-6)
+    # io.images integration
+    stack = images.load_image_zstack_fixed_t(path)
+    assert stack.shape == (16, 18, 4, 3)
+    np.testing.assert_allclose(stack[:, :, 2], vol[2], rtol=1e-6)
+
+
+def test_czi_gray16_normalized(tmp_path, rng):
+    plane = (rng.rand(8, 9, 2) * 65535).astype(np.uint16)
+    path = str(tmp_path / "g16.czi")
+    czi.write_czi(path, plane.astype(np.float32) / 65535.0)
+    # also test integer pixel type path
+    czi.write_czi(path, plane, pixel_type=1)
+    got = czi.CziFile(path).load_plane()
+    np.testing.assert_allclose(got, plane / 65535.0, atol=1e-4)
+
+
+def test_czi_rejects_non_czi(tmp_path):
+    path = tmp_path / "bad.czi"
+    path.write_bytes(b"not a czi file at all" * 10)
+    with pytest.raises(ValueError):
+        czi.CziFile(str(path))
+
+
+def test_load_image_npy(tmp_path, rng):
+    arr = rng.rand(10, 12, 4).astype(np.float32)
+    p = str(tmp_path / "a.npy")
+    np.save(p, arr)
+    np.testing.assert_array_equal(images.load_image(p), arr)
+
+
+def test_workflow_config(tmp_path):
+    cfg = {
+        "__default__": {"SCRIPTS_PATH": "/s", "DATA_DIR": "/d"},
+        "images": {"image_list_table": "/t.csv", "image_type": "M"},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    wc = tables.WorkflowConfig.from_json(str(p))
+    assert wc.data_dir == "/d" and wc.image_type == "M"
+
+
+def test_parse_encoding_and_fov():
+    assert tables.parse_encoding("08_18_2018_enc_37") == 37
+    assert tables.parse_fov("mix_0_fov_12") == 12
+    assert tables.sample_from_image_name("a_b_enc_5_405.czi") == "a_b_enc_5"
+
+
+def test_reference_clf_path():
+    p = tables.reference_clf_path("/d", "ref", 2000)
+    assert p.endswith(
+        "reference_simulate_2000_excitation_adjusted_normalized_"
+        "violet_derivative_umap_transform.pkl")
+
+
+def test_bvox_export(tmp_path):
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    p = str(tmp_path / "v.bvox")
+    outputs.save_bvox(vol, p)
+    raw = open(p, "rb").read()
+    header = np.frombuffer(raw[:16], "<i4")
+    assert header.tolist() == [2, 3, 4, 1]
+    data = np.frombuffer(raw[16:], "<f4")
+    np.testing.assert_array_equal(data, vol.flatten("F"))
+
+
+def test_calibration_cube():
+    cal = np.full((4, 4), 2.0, np.float32)
+    cube = images.build_calibration_cube(cal, 95, 32)
+    assert cube.shape == (4, 4, 95)
+    assert (cube[:, :, :32] == 2.0).all()
+    assert (cube[:, :, 32:] == 1.0).all()
