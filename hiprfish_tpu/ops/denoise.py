@@ -94,3 +94,16 @@ def denoise_nl_means(
     )
     out = acc / jnp.maximum(wacc, 1e-12)
     return out[pd:-pd, pd:-pd]
+
+
+def denoise_nl_means_auto(image, h: float = 0.02, patch_size: int = 7,
+                          patch_distance: int = 11):
+    """Backend dispatcher: the Pallas VMEM-tiled kernel on TPU, the XLA scan
+    formulation elsewhere. Decided at trace time."""
+    import jax
+
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from hiprfish_tpu.ops.nlm_pallas import denoise_nl_means_pallas
+
+        return denoise_nl_means_pallas(image, h, patch_size, patch_distance)
+    return denoise_nl_means(image, h, patch_size, patch_distance)

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel for fast-mode non-local-means denoising.
+
+The XLA formulation (ops/denoise.py) streams ~50 GB of HBM traffic per
+2000x2000 FOV (each of 264 scan steps re-reads/re-writes full-image
+temporaries). This kernel blocks the image into VMEM tiles with a
+(2*patch_distance + patch_radius) halo and runs the entire offset loop
+on-chip: one HBM read of the halo'd tile + one write of the result —
+speed-of-light memory traffic, VPU-bound compute.
+
+Same math as ops/denoise.denoise_nl_means (skimage fast-mode, sigma=0),
+including the symmetric-offset trick: each half-window offset o contributes
+both the +o term at p and the mirrored -o term (weights computed on an
+extended margin so mirror weights at p+o are available in-tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
+                halo_x, pd, pr, h2, n_off):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * bh, bh + 2 * halo_y),
+                   pl.ds(j * bw, bw + 2 * halo_x)],
+        win, sem)
+    copy.start()
+    copy.wait()
+
+    ps = 2 * pr + 1
+    winv = win[:, :]
+    blk = (slice(halo_y, halo_y + bh), slice(halo_x, halo_x + bw))
+
+    def _roll(a, s, axis):
+        """pltpu.roll with any-sign (possibly traced) shift."""
+        n = a.shape[axis]
+        if isinstance(s, int):
+            s = s % n
+        else:
+            s = jax.lax.rem(jax.lax.rem(s, n) + n, n)
+        return pltpu.roll(a, s, axis)
+
+    # Mosaic restricts dynamic vector slices to tile-aligned starts, so the
+    # per-offset shifts are expressed as dynamic rotates (pltpu.roll handles
+    # traced shift amounts) followed by static slices. The halo
+    # (2*patch_distance + patch_radius) absorbs all rotate wrap-around.
+    def body(k, carry):
+        acc, wacc = carry
+        dy = off_ref[k, 0]
+        dx = off_ref[k, 1]
+        # neg_roll[p] = I(p - o); pos_roll[p] = I(p + o)
+        neg_roll = _roll(_roll(winv, dy, 0), dx, 1)
+        pos_roll = _roll(_roll(winv, -dy, 0), -dx, 1)
+        e = (winv - neg_roll) ** 2
+        # Separable patch box sum: valid wherever >= pr from the border.
+        rows = e
+        for r in range(1, ps):
+            rows = rows + _roll(e, -r, 0)
+        box = rows
+        for c in range(1, ps):
+            box = box + _roll(rows, -c, 1)
+        # box[p] = sum of e over [p, p+ps)^2; the patch centered at p is
+        # box shifted by -pr in both axes.
+        box_c = _roll(box, pr, 0)
+        box_c = _roll(box_c, pr, 1)
+        w = jnp.exp(box_c * (-1.0 / (h2 * ps * ps)))
+        w_mir = _roll(_roll(w, -dy, 0), -dx, 1)
+        acc = acc + w[blk] * neg_roll[blk] + w_mir[blk] * pos_roll[blk]
+        wacc = wacc + w[blk] + w_mir[blk]
+        return acc, wacc
+
+    acc0 = winv[blk]
+    wacc0 = jnp.ones((bh, bw), jnp.float32)
+    acc, wacc = jax.lax.fori_loop(0, n_off, body, (acc0, wacc0))
+    out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def denoise_nl_means_pallas(
+    image: jax.Array,
+    h: float = 0.02,
+    patch_size: int = 7,
+    patch_distance: int = 11,
+    block: int = 256,
+):
+    """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means."""
+    img = image.astype(jnp.float32)
+    hh, ww = img.shape
+    pd = patch_distance
+    pr = patch_size // 2
+    halo = 2 * pd + pr
+    bh = bw = block
+    # tpu.dynamic_rotate needs (8, 128)-aligned vector shapes: round halos up
+    # so the VMEM window (bh + 2*halo_y, bw + 2*halo_x) is tile-aligned.
+    halo_y = -(-halo // 4) * 4 if (2 * halo) % 8 else halo
+    halo_y = max(halo_y, -(-halo // 4) * 4)
+    halo_x = -(-halo // 64) * 64
+    gh = pl.cdiv(hh, bh)
+    gw = pl.cdiv(ww, bw)
+    # Pad to block multiples + halo with edge values (reflect for the
+    # denoising margin matters little; edge matches the XLA path's interior).
+    ph = gh * bh
+    pw = gw * bw
+    padded = jnp.pad(
+        img, ((halo_y, halo_y + ph - hh), (halo_x, halo_x + pw - ww)),
+        mode="reflect")
+
+    offsets = np.array(
+        [(dy, dx)
+         for dy in range(-pd, pd + 1)
+         for dx in range(-pd, pd + 1)
+         if (dy, dx) > (0, 0)],
+        np.int32,
+    )
+
+    kernel = functools.partial(
+        _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
+        pr=pr, h2=float(h * h), n_off=len(offsets))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((bh, bw), lambda i, j, off: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bh + 2 * halo_y, bw + 2 * halo_x), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(jnp.asarray(offsets), padded)
+    return out[:hh, :ww]

@@ -61,7 +61,7 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
     if denoise:
-        den = dn.denoise_nl_means(
+        den = dn.denoise_nl_means_auto(
             sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance)
     else:
         den = sum_norm

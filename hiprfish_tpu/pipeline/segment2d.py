@@ -234,7 +234,7 @@ def segment_lpcv_from_registered(
     registered = jnp.asarray(registered)
     fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
-    denoised = dn.denoise_nl_means(
+    denoised = dn.denoise_nl_means_auto(
         sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance
     )
 
