@@ -18,13 +18,17 @@ import jax.numpy as jnp
 def register_translation(reference: jax.Array, moving: jax.Array) -> jax.Array:
     """Integer (row, col) shift aligning ``moving`` to ``reference``.
 
-    Computed as argmax of ifft2(fft2(ref) * conj(fft2(mov))), with wrap-around
-    indices mapped to signed shifts — the upsample_factor=1 behavior of
-    skimage register_translation.
+    Phase correlation: argmax of ifft2 of the normalized cross-power
+    spectrum. (The reference uses plain cross-correlation via skimage
+    register_translation; phase normalization keeps the same answer on its
+    data but is robust to sparse scenes, where raw cross-correlation can
+    lock onto a spurious bright-region overlap.)
     """
     f_ref = jnp.fft.fft2(reference.astype(jnp.float32))
     f_mov = jnp.fft.fft2(moving.astype(jnp.float32))
-    cc = jnp.fft.ifft2(f_ref * jnp.conj(f_mov))
+    cross = f_ref * jnp.conj(f_mov)
+    cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    cc = jnp.fft.ifft2(cross)
     cc_abs = jnp.abs(cc)
     flat = jnp.argmax(cc_abs)
     shape = jnp.asarray(reference.shape)
@@ -39,7 +43,9 @@ def register_translation_3d(reference: jax.Array, moving: jax.Array) -> jax.Arra
     """3D variant (used for z-stack time registration, biofilm_analysis.py:143)."""
     f_ref = jnp.fft.fftn(reference.astype(jnp.float32))
     f_mov = jnp.fft.fftn(moving.astype(jnp.float32))
-    cc_abs = jnp.abs(jnp.fft.ifftn(f_ref * jnp.conj(f_mov)))
+    cross = f_ref * jnp.conj(f_mov)
+    cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    cc_abs = jnp.abs(jnp.fft.ifftn(cross))
     flat = jnp.argmax(cc_abs)
     shape = jnp.asarray(reference.shape)
     maxima = jnp.stack(jnp.unravel_index(flat, reference.shape)).astype(jnp.float32)
