@@ -214,7 +214,16 @@ class CziFile:
     def load_plane(self, z: int = 0, t: int = 0, series: int = 0,
                    dtype=np.float32) -> np.ndarray:
         """(Y, X, C) plane at the given Z/T/Scene — bioformats.load_image
-        semantics (normalized to [0, 1] for integer types)."""
+        semantics (normalized to [0, 1] for integer types).
+
+        Uses the native threaded decoder (io/czi_native.py) when built,
+        falling back to the pure-Python path."""
+        if dtype == np.float32:
+            from hiprfish_tpu.io import czi_native
+
+            native = czi_native.load_plane_native(self, z, t, series)
+            if native is not None:
+                return native
         out = np.zeros((self.size_y, self.size_x, self.size_c), dtype)
         hit = False
         for e in self.entries:

@@ -205,6 +205,75 @@ def line_profile_3d(
     return jnp.moveaxis(rncs, 0, -1)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def line_profile_3d_full(
+    volume_padded: jax.Array,
+    patch_size: int = 11,
+    theta_range: int = 9,
+    phi_range: int = 9,
+):
+    """Raw (X, Y, Z, n_orient, patch_size) 3D line profiles — API parity with
+    neighbor.pyx:line_profile_v2 (the memory-hungry variant used by the
+    reference's tiled 3D path, biofilm_analysis.py:904). Only sensible on
+    small chunks; the fused lp_cv_enhance_3d is the production path."""
+    table = jnp.asarray(line_table_3d(patch_size, theta_range, phi_range),
+                        jnp.int32)
+    xp, yp, zp = volume_padded.shape
+    x = xp - (patch_size - 1)
+    y = yp - (patch_size - 1)
+    z = zp - (patch_size - 1)
+    vol = volume_padded.astype(jnp.float32)
+
+    def per_coord(c):
+        return jax.lax.dynamic_slice(vol, (c[0], c[1], c[2]), (x, y, z))
+
+    def per_orientation(coords):  # (patch_size, 3)
+        return jax.vmap(per_coord)(coords)  # (patch_size, x, y, z)
+
+    prof = jax.lax.map(per_orientation, table)  # (T, S, x, y, z)
+    return jnp.moveaxis(prof, (0, 1), (3, 4))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def neighbor_average(volume_padded: jax.Array, patch_size: int = 11):
+    """Multi-scale 3D box means around each voxel: (X, Y, Z, patch_size-1)
+    where slot s-1 is the mean over the (2s+1)^3 cube — parity with
+    neighbor.pyx:neighbor_average:8-37 (defined but unused by the reference;
+    provided for API completeness). Computed with separable cumulative sums
+    instead of the Cython 7-deep loop nest."""
+    pad_total = 2 * (patch_size - 1)
+    x = volume_padded.shape[0] - pad_total
+    y = volume_padded.shape[1] - pad_total
+    z = volume_padded.shape[2] - pad_total
+    vol = volume_padded.astype(jnp.float32)
+    # Integral volume with a leading zero plane per axis.
+    c = vol
+    for ax in range(3):
+        c = jnp.cumsum(c, axis=ax)
+        c = jnp.pad(c, [(1, 0) if a == ax else (0, 0) for a in range(3)])
+
+    def box_sum(lo, size):
+        """Sum over [lo, lo+size)^3 windows for every output voxel."""
+        def take(dx, dy, dz):
+            return jax.lax.slice(
+                c,
+                (lo + dx * size, lo + dy * size, lo + dz * size),
+                (lo + dx * size + x, lo + dy * size + y, lo + dz * size + z),
+            )
+
+        s = take(1, 1, 1) - take(0, 1, 1) - take(1, 0, 1) - take(1, 1, 0)
+        s = s + take(0, 0, 1) + take(0, 1, 0) + take(1, 0, 0) - take(0, 0, 0)
+        return s
+
+    outs = []
+    center = patch_size - 1  # offset of the output voxel in the padded frame
+    for s in range(1, patch_size):
+        size = 2 * s + 1
+        lo = center - s
+        outs.append(box_sum(lo, size) / (size ** 3))
+    return jnp.stack(outs, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Fused LP-CV enhancement (the production path)
 # ---------------------------------------------------------------------------

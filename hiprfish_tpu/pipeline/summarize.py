@@ -91,6 +91,46 @@ def plot_mean_abundance_distribution(abundance_csv: str, output_pdf: str,
     plt.close(fig)
 
 
+def plot_avg_int_reference(avgint: "np.ndarray", enc: int, output_pdf: str,
+                           n_bits: int = 10) -> None:
+    """Per-cell spectra overlay with the encoding annotation — the reference
+    measurement QC figure (hiprfish_imaging_reference_image_measurement.py:67)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    avgint = np.asarray(avgint)
+    fig, ax = plt.subplots(figsize=(5, 3))
+    for row in avgint:
+        ax.plot(row, color="dodgerblue", alpha=0.3, lw=0.5)
+    ax.plot(avgint.mean(axis=0), color="orangered", lw=1.5, label="mean")
+    ax.set_xlabel("Channel")
+    ax.set_ylabel("Intensity")
+    ax.set_title(f"enc {enc} = {format(enc, f'0{n_bits}b')} "
+                 f"({avgint.shape[0]} cells)", fontsize=9)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(output_pdf, dpi=300)
+    plt.close(fig)
+
+
+def apply_presentation_style() -> None:
+    """White-on-transparent figure styling — the reference's *_presentation
+    plot variants (hiprfish_summarize_mix_experiment.py:64,
+    hiprfish_summarize_titration_experiment.py:108)."""
+    import matplotlib
+
+    matplotlib.rcParams.update({
+        "text.color": "white",
+        "axes.edgecolor": "white",
+        "axes.labelcolor": "white",
+        "xtick.color": "white",
+        "ytick.color": "white",
+        "savefig.transparent": True,
+    })
+
+
 def titration_correlation(results_glob: str):
     """Input concentration vs measured abundance across mixes, linear
     regression + gross error rate at concentration 0

@@ -1,0 +1,133 @@
+// Native CZI subblock decoder + plane assembler.
+//
+// The reference ingests CZI through a JVM (javabridge + bioformats,
+// spectral_image_measurement.py:31) — a per-process virtual machine on the
+// hot ingest path. Here the host-side runtime is a small C++ library: the
+// Python layer (hiprfish_tpu/io/czi.py) parses the ZISRAW directory once and
+// hands this library a flat table of subblock descriptors; the library
+// reads, decompresses (zstd) and type-converts pixel data with a thread pool
+// and scatters each block into the caller's (Y, X, C) float32 plane.
+//
+// Build: g++ -O3 -march=native -shared -fPIC czi_native.cc -o libczi_native.so -lzstd -lpthread
+// ABI: plain C (ctypes).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+#include <zstd.h>
+
+extern "C" {
+
+struct SubblockDesc {
+  int64_t data_pos;      // absolute file offset of pixel data
+  int64_t data_size;     // stored (possibly compressed) byte size
+  int32_t y0, x0, c0;    // placement in the output plane
+  int32_t sy, sx, sc;    // stored extent
+  int32_t pixel_type;    // ZISRAW pixel type id
+  int32_t compression;   // 0 = none, 5/6 = zstd0/zstd1
+};
+
+static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
+                         int64_t H, int64_t W, int64_t C) {
+  std::vector<uint8_t> raw(d.data_size);
+#if defined(_WIN32)
+  return false;
+#else
+  if (fseeko(f, d.data_pos, SEEK_SET) != 0) return false;
+#endif
+  if (fread(raw.data(), 1, raw.size(), f) != raw.size()) return false;
+
+  const uint8_t* data = raw.data();
+  size_t data_len = raw.size();
+  std::vector<uint8_t> scratch;
+  if (d.compression == 5 || d.compression == 6) {
+    size_t skip = 0;
+    if (d.compression == 6 && data_len > 0) skip = 1 + data[0];
+    unsigned long long want =
+        ZSTD_getFrameContentSize(data + skip, data_len - skip);
+    if (want == ZSTD_CONTENTSIZE_ERROR || want == ZSTD_CONTENTSIZE_UNKNOWN)
+      want = (unsigned long long)d.sy * d.sx * d.sc * 8;
+    scratch.resize(want);
+    size_t got = ZSTD_decompress(scratch.data(), scratch.size(),
+                                 data + skip, data_len - skip);
+    if (ZSTD_isError(got)) return false;
+    data = scratch.data();
+    data_len = got;
+  } else if (d.compression != 0) {
+    return false;  // JPEG/JPEG-XR unsupported natively
+  }
+
+  const int64_t n = (int64_t)d.sy * d.sx * d.sc;
+  auto place = [&](auto convert) {
+    // Stored layout: (C, Y, X) when sc > 1, else (Y, X).
+    for (int64_t c = 0; c < d.sc; ++c) {
+      for (int64_t y = 0; y < d.sy; ++y) {
+        float* dst = out + ((d.y0 + y) * W + d.x0) * C + (d.c0 + c);
+        const int64_t src_row = (c * d.sy + y) * d.sx;
+        for (int64_t x = 0; x < d.sx; ++x) {
+          dst[x * C] = convert(src_row + x);
+        }
+      }
+    }
+  };
+
+  switch (d.pixel_type) {
+    case 0: {  // Gray8
+      if (data_len < (size_t)n) return false;
+      const uint8_t* p = data;
+      place([&](int64_t i) { return p[i] / 255.0f; });
+      break;
+    }
+    case 1: {  // Gray16
+      if (data_len < (size_t)n * 2) return false;
+      const uint16_t* p = (const uint16_t*)data;
+      place([&](int64_t i) { return p[i] / 65535.0f; });
+      break;
+    }
+    case 2: {  // Gray32Float
+      if (data_len < (size_t)n * 4) return false;
+      const float* p = (const float*)data;
+      place([&](int64_t i) { return p[i]; });
+      break;
+    }
+    case 12: {  // Gray32
+      if (data_len < (size_t)n * 4) return false;
+      const int32_t* p = (const int32_t*)data;
+      place([&](int64_t i) { return (float)p[i]; });
+      break;
+    }
+    default:
+      return false;
+  }
+  return true;
+}
+
+// Assemble one (H, W, C) float32 plane from n subblocks. Returns 0 on
+// success, else the number of failed blocks.
+int czi_assemble_plane(const char* path, const SubblockDesc* descs,
+                       int32_t n, float* out, int64_t H, int64_t W,
+                       int64_t C, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto worker = [&]() {
+    FILE* f = fopen(path, "rb");
+    if (!f) { failures += 1; return; }
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (!decode_block(f, descs[i], out, H, W, C)) failures += 1;
+    }
+    fclose(f);
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+}  // extern "C"
