@@ -31,9 +31,15 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
     vmax = jnp.max(v)
     span = jnp.maximum(vmax - vmin, 1e-12)
     # Histogram of values (weights = counts, sums = per-bin value mass).
-    idx = jnp.clip(((v - vmin) / span * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
+    # Center fitting is statistical: build the histogram from a strided
+    # subsample (assignment below stays exact on the full data) — the 4M-
+    # element scatter otherwise dominates the whole call.
+    max_hist = 1 << 19
+    stride = max(1, v.shape[0] // max_hist)
+    vs = v[::stride]
+    idx = jnp.clip(((vs - vmin) / span * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
     counts = jnp.zeros((n_bins,), jnp.float32).at[idx].add(1.0)
-    sums = jnp.zeros((n_bins,), jnp.float32).at[idx].add(v)
+    sums = jnp.zeros((n_bins,), jnp.float32).at[idx].add(vs)
     bin_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
     bin_pos = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins * span
     bin_val = jnp.where(counts > 0, bin_centers, bin_pos)

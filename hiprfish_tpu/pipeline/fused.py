@@ -65,7 +65,8 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
             sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance)
     else:
         den = sum_norm
-    enhanced = lp.lp_cv_enhance_2d(den, cfg.patch_size, cfg.phi_range)
+    from hiprfish_tpu.ops.lp_pallas import lp_cv_enhance_2d_auto
+    enhanced = lp_cv_enhance_2d_auto(den, cfg.patch_size, cfg.phi_range)
 
     bkg = km.brightest_cluster_mask(den, 2, cfg.kmeans_iters)
     # Intersect with the intensity background filter before the morphology
@@ -76,9 +77,10 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
         lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 2))
     seed_mask = seeds_core & morph.binary_fill_holes(fg)
 
-    markers_all, _ = lab.relabel_sequential(
-        lab.label(seed_mask, 2, cfg.ccl_max_iters))
-    markers = markers_all * bkg.astype(jnp.int32)
+    # Watershed only needs distinct marker ids, not sequential ones; the
+    # final filter_and_relabel produces the 1..n labels (saves a full
+    # scatter+cumsum+gather relabel pass here).
+    markers = lab.label(seed_mask, 2, cfg.ccl_max_iters) * bkg.astype(jnp.int32)
     seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
                        cfg.watershed_max_iters)
     seg, n_cells = lab.filter_and_relabel(seg, cfg.lp_cell_min_size)

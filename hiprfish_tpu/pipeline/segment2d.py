@@ -238,7 +238,8 @@ def segment_lpcv_from_registered(
         sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance
     )
 
-    enhanced = lp.lp_cv_enhance_2d(denoised, cfg.patch_size, cfg.phi_range)
+    from hiprfish_tpu.ops.lp_pallas import lp_cv_enhance_2d_auto
+    enhanced = lp_cv_enhance_2d_auto(denoised, cfg.patch_size, cfg.phi_range)
 
     bkg_src = jnp.log10(denoised + 1e-8) if biofilm else denoised
     bkg = km.brightest_cluster_mask(bkg_src, 2, cfg.kmeans_iters)
