@@ -90,6 +90,69 @@ def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
     return jnp.where(mask, v, values)
 
 
+def _run_or_scan(reach: jax.Array, mask: jax.Array, axis: int,
+                 reverse: bool) -> jax.Array:
+    """Propagate True along contiguous mask runs (segmented OR-scan via
+    Hillis-Steele doubling on bool vectors — 4x narrower than the int32
+    min-scan)."""
+    off = [0] * mask.ndim
+    off[axis] = -1 if reverse else 1
+    gate = mask & shifted(mask, tuple(off), False)
+    n = reach.shape[axis]
+    g, r = gate, reach
+    d = 1
+    while d < n:
+        off_d = [0] * mask.ndim
+        off_d[axis] = -d if reverse else d
+        ga = shifted(g, tuple(off_d), False)
+        ra = shifted(r, tuple(off_d), False)
+        r = r | (g & ra)
+        g = g & ga
+        d *= 2
+    return r
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 1,
+                max_iters: int = 512):
+    """Pixels of ``mask`` reachable from ``seeds`` through ``mask`` —
+    binary flood fill with the same scan machinery as label() but carried on
+    booleans (used by hole filling / border-connectivity tests)."""
+    ndim = mask.ndim
+    shifts = _neighbor_shifts(ndim, connectivity)
+    reach0 = seeds & mask
+
+    def body(state):
+        reach, _, it = state
+        cur = reach
+        nb = cur
+        for off in shifts:
+            nb = nb | shifted(cur, off, False)
+        cur = mask & (cur | nb)
+        for axis in range(ndim):
+            cur = _run_or_scan(cur, mask, axis, False)
+            cur = _run_or_scan(cur, mask, axis, True)
+        return cur, jnp.any(cur != reach), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < max_iters)
+
+    reach, _, _ = jax.lax.while_loop(
+        cond, body, (reach0, jnp.bool_(True), jnp.int32(0)))
+    return reach
+
+
+def border_mask(shape) -> jax.Array:
+    border = jnp.zeros(shape, bool)
+    for ax in range(len(shape)):
+        idx = [slice(None)] * len(shape)
+        idx[ax] = 0
+        border = border.at[tuple(idx)].set(True)
+        idx[ax] = shape[ax] - 1
+        border = border.at[tuple(idx)].set(True)
+    return border
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512):
     """Label connected components of a boolean mask.

@@ -104,25 +104,14 @@ def binary_closing_disk(mask: jax.Array, radius: int):
 @functools.partial(jax.jit, static_argnums=(1,))
 def binary_fill_holes(mask: jax.Array, connectivity: int = 1):
     """Fill background regions not connected to the border
-    (scipy.ndimage.binary_fill_holes)."""
+    (scipy.ndimage.binary_fill_holes) — a border-seeded binary flood through
+    the complement (no label ids, no scatter/gather)."""
+    from hiprfish_tpu.ops.labeling import border_mask, flood_reach
+
     m = mask.astype(bool)
     comp = ~m
-    lbl = label(comp, connectivity)
-    size = mask.size
-    flat = jnp.clip(lbl.reshape(-1), 0, size)
-    border = jnp.zeros(mask.shape, bool)
-    for ax in range(mask.ndim):
-        idx = [slice(None)] * mask.ndim
-        idx[ax] = 0
-        border = border.at[tuple(idx)].set(True)
-        idx[ax] = mask.shape[ax] - 1
-        border = border.at[tuple(idx)].set(True)
-    touches = jnp.zeros((size + 1,), jnp.int32).at[
-        jnp.where(border.reshape(-1), flat, 0)
-    ].set(1)
-    touches = touches.at[0].set(1)
-    hole = (touches[flat].reshape(mask.shape) == 0) & comp
-    return m | hole
+    reach = flood_reach(border_mask(mask.shape), comp, connectivity)
+    return m | (comp & ~reach)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

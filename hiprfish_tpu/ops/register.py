@@ -24,12 +24,11 @@ def register_translation(reference: jax.Array, moving: jax.Array) -> jax.Array:
     data but is robust to sparse scenes, where raw cross-correlation can
     lock onto a spurious bright-region overlap.)
     """
-    f_ref = jnp.fft.fft2(reference.astype(jnp.float32))
-    f_mov = jnp.fft.fft2(moving.astype(jnp.float32))
+    f_ref = jnp.fft.rfft2(reference.astype(jnp.float32))
+    f_mov = jnp.fft.rfft2(moving.astype(jnp.float32))
     cross = f_ref * jnp.conj(f_mov)
     cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-    cc = jnp.fft.ifft2(cross)
-    cc_abs = jnp.abs(cc)
+    cc_abs = jnp.abs(jnp.fft.irfft2(cross, reference.shape))
     flat = jnp.argmax(cc_abs)
     shape = jnp.asarray(reference.shape)
     maxima = jnp.stack(jnp.unravel_index(flat, reference.shape)).astype(jnp.float32)
