@@ -258,10 +258,12 @@ class CziFile:
 
 
 def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
-              metadata_xml: str = "<ImageDocument/>") -> None:
-    """Write a (Z, T, C, Y, X)-indexable array as an uncompressed CZI.
+              metadata_xml: str = "<ImageDocument/>",
+              compression: int = COMP_UNCOMPRESSED) -> None:
+    """Write a (Z, T, C, Y, X)-indexable array as a CZI.
 
     ``planes``: array of shape (Y, X, C) or (Z, Y, X, C) or (T, Z, Y, X, C).
+    ``compression``: COMP_UNCOMPRESSED or COMP_ZSTD0.
     """
     arr = np.asarray(planes)
     if arr.ndim == 3:
@@ -285,7 +287,7 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
                 + dim_entry("T", t, 1))
         return (b"DV" + struct.pack("<i", pixel_type)
                 + struct.pack("<q", pos) + struct.pack("<i", 0)
-                + struct.pack("<i", COMP_UNCOMPRESSED)
+                + struct.pack("<i", compression)
                 + b"\x00" * 6 + struct.pack("<i", 5) + dims)
 
     # Build the byte stream: file header first (fixed 512-byte payload).
@@ -317,6 +319,10 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
             for c in range(nc):
                 plane = np.ascontiguousarray(arr[t, z, :, :, c], dtype)
                 data = plane.tobytes()
+                if compression == COMP_ZSTD0:
+                    import zstandard
+
+                    data = zstandard.ZstdCompressor().compress(data)
                 entry = dir_entry(0, t, z, c)  # position fixed below
                 data_offset = max(256, 16 + len(entry))
                 payload = (struct.pack("<iiq", 0, 0, len(data)) + entry

@@ -40,6 +40,74 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
     return call
 
 
+def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
+                       max_cells: int = 4096, batch: int | None = None,
+                       mesh=None, denoise: bool = True, out_dir: str = "."):
+    """Production batch runner: prefetch-decode FOVs, run the fused pipeline
+    in sharded batches, write the reference-format artifacts.
+
+    Args:
+      samples: list of (sample_name, [per-laser filenames]).
+      clf: SpectralClassifier.
+      batch: FOVs per device batch (defaults to mesh 'fov' size).
+    Returns {sample_name: (n_cells, barcode list)}.
+    """
+    import os
+
+    import numpy as np
+
+    from hiprfish_tpu.config import SegmentationConfig as _SC
+    from hiprfish_tpu.io import outputs
+    from hiprfish_tpu.io.loader import FovPrefetcher
+    from hiprfish_tpu.parallel import mesh as meshlib
+
+    cfg = cfg or _SC()
+    if mesh is None:
+        mesh = meshlib.make_mesh(tile=1)
+    if batch is None:
+        batch = mesh.shape["fov"]
+    clf_arrays, clf_static = fused.classifier_to_device_args(clf)
+    run = batched_fov_step(mesh, cfg, max_cells, clf_static, denoise)
+
+    results = {}
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        names = [n for n, _ in pending]
+        stacks = [s for _, s in pending]
+        n_pad = batch - len(stacks)
+        stacks = stacks + [stacks[-1]] * n_pad
+        batched = tuple(
+            jnp.stack([s[li] for s in stacks])
+            for li in range(len(stacks[0]))
+        )
+        out = run(batched, clf_arrays)
+        for bi, name in enumerate(names):
+            n = int(out.n_cells[bi])
+            seg = np.asarray(out.segmentation[bi])
+            avgint = np.asarray(out.avgint[bi])[1:n + 1]
+            norm = np.asarray(out.avgint_norm[bi])[1:n + 1]
+            codes = [clf.codebook[int(c)]
+                     for c in np.asarray(out.code_idx[bi])[1:n + 1]]
+            prefix = os.path.join(out_dir, name)
+            outputs.save_avgint_csv(prefix + "_avgint.csv", avgint)
+            outputs.save_avgint_norm_csv_with_header(
+                prefix + "_avgint_norm.csv", norm)
+            np.save(prefix + "_seg.npy", seg)
+            outputs.save_cell_ids(prefix + "_cell_ids.txt", codes)
+            results[name] = (n, codes)
+        pending.clear()
+
+    for name, stack in FovPrefetcher(samples, depth=batch + 1):
+        pending.append((name, tuple(jnp.asarray(a) for a in stack)))
+        if len(pending) == batch:
+            flush()
+    flush()
+    return results
+
+
 def train_check_heads_dp(mesh, x, y, init_params, steps: int, lr: float):
     """Data-parallel check-head training step: batch sharded over 'fov',
     gradients psum-reduced across the mesh — the framework's 'full training
