@@ -26,7 +26,22 @@ def measure_reference_images(image_names, cal_toggle="F",
     sample = tables.sample_from_image_name(image_names[0])
     print(f"Analyzing sample {sample}...")
     stack = iio.load_image_stack(image_names)
-    res = segment2d.segment_ecoli(stack, cfg, max_cells)
+    import jax
+
+    if jax.default_backend() not in ("cpu", "gpu"):
+        # Single-program engine: one device launch instead of hundreds
+        # (critical under dispatch-latency-bound TPU runtimes).
+        from hiprfish_tpu.pipeline import fused_ecoli
+        import jax.numpy as jnp
+
+        seg, n_cells, registered = fused_ecoli.segment_ecoli_device(
+            tuple(jnp.asarray(a) for a in stack), cfg, max_cells)
+        res = segment2d.Segmentation2D(
+            seg, n_cells, registered, jnp.sum(registered, axis=2),
+            jnp.zeros(seg.shape), jnp.zeros_like(seg),
+            jnp.zeros(seg.shape, bool))
+    else:
+        res = segment2d.segment_ecoli(stack, cfg, max_cells)
     registered = res.registered
     if cal_toggle == "T":
         cal = iio.load_calibration_image(calibration_filename)

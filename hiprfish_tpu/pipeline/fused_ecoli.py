@@ -1,0 +1,101 @@
+"""Fully fused single-program E. coli segmentation (10-bit path).
+
+Same semantics as pipeline/segment2d.segment_ecoli
+(spectral_image_measurement.py:44-127) but compiled as ONE XLA program: the
+data-dependent erosion-seeding loop runs as a bounded lax.while_loop on
+device instead of a host loop — hundreds of host dispatches collapse into a
+single launch (critical when device dispatch has tunnel latency).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hiprfish_tpu.config import SegmentationConfig
+from hiprfish_tpu.ops import kmeans as km
+from hiprfish_tpu.ops import labeling as lab
+from hiprfish_tpu.ops import morphology as morph
+from hiprfish_tpu.ops import regionprops as rp
+from hiprfish_tpu.ops import register as reg
+from hiprfish_tpu.ops import watershed as ws
+from hiprfish_tpu.pipeline.segment2d import _erode_labels_twice
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
+                         max_cells: int = 4096):
+    """(seg, n_cells, registered) for a tuple of per-laser (H, W, C_l)
+    planes — pure device program."""
+    projections = [jnp.max(img, axis=2) for img in stack]
+    ref0 = projections[0]
+    parts = [stack[0]]
+    overlap = jnp.ones(ref0.shape, bool)
+    for i in range(1, len(stack)):
+        s = reg.register_translation(ref0, projections[i])
+        if cfg.clamp_shift:
+            s = reg.clamp_shift(s, cfg.max_shift)
+        shifted, mask = reg.apply_shift_2d(stack[i], s)
+        parts.append(shifted)
+        overlap = overlap & mask
+    registered = jnp.concatenate(parts, axis=2) * overlap[:, :, None]
+    fov_sum = jnp.sum(registered, axis=2)
+    image_cn = jnp.log(fov_sum + 1e-2)
+
+    fg = km.brightest_cluster_mask(image_cn, 2, cfg.kmeans_iters)
+    interior = km.brightest_cluster_mask(image_cn, 3, cfg.kmeans_iters)
+    interior = morph.remove_small_holes(interior, 64)
+    interior = morph.binary_opening(interior)
+    cell_sm = lab.remove_small_objects(interior, 50)
+
+    # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
+    # survives k erosions iff depth(p) > k, so the per-iteration "component
+    # area after k erosions" is a (component, depth) histogram — ONE labeling
+    # + one scatter instead of a CCL per erosion round. A component becomes a
+    # seed at the first k where its surviving area drops below seed_area_max,
+    # and its seed pixels are {depth > k}. Equivalent to the reference's loop
+    # (spectral_image_measurement.py:101-110) except when erosion splits a
+    # component (rare for convex cells; the host-orchestrated
+    # segment2d.segment_ecoli keeps the exact per-iteration semantics).
+    kmax = cfg.max_erosion_iters
+    depth = cell_sm.astype(jnp.int32)
+    m = cell_sm
+    for _ in range(kmax - 1):
+        m = morph.binary_erosion(m) & cell_sm
+        depth = depth + m
+    comp, n_comp = lab.filter_and_relabel(
+        lab.label(cell_sm, 2, cfg.ccl_max_iters), 1, drop_border=False)
+    comp = jnp.minimum(comp, max_cells - 1)
+    flat_comp = comp.reshape(-1)
+    flat_depth = jnp.clip(depth.reshape(-1), 0, kmax)
+    hist = jnp.zeros((max_cells, kmax + 1), jnp.int32).at[
+        flat_comp, flat_depth].add(1)
+    # area_k[c, k] = component c's area after k erosions = #pixels depth > k.
+    area_k = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1][:, 1:]  # (C, kmax)
+    small = area_k < cfg.seed_area_max
+    k_seed = jnp.argmax(small, axis=1).astype(jnp.int32)       # first such k
+    seed_area = jnp.take_along_axis(area_k, k_seed[:, None], axis=1)[:, 0]
+    valid_seed = (seed_area >= cfg.seed_min_size) & (jnp.arange(max_cells) > 0)
+    k_pix = k_seed[flat_comp].reshape(comp.shape)
+    seed_mask = (depth > k_pix) & valid_seed[comp] & cell_sm
+    markers = lab.label(seed_mask, 2, cfg.ccl_max_iters)
+
+    seg = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
+    seg, _ = lab.filter_and_relabel(seg, cfg.cell_min_size)
+    seg = jnp.minimum(seg, max_cells - 1)
+
+    props = rp.shape_props_2d(seg, max_cells)
+    minor = props["minor_axis_length"]
+    keep = (
+        (minor >= cfg.minor_axis_min)
+        & (minor <= cfg.minor_axis_max)
+        & (props["area"] > 0)
+    )
+    keep = keep.at[0].set(False)
+    eroded = _erode_labels_twice(seg)
+    kept = jnp.where(keep[jnp.clip(eroded, 0, max_cells - 1)], eroded, 0)
+    seg_final, n_cells = lab.relabel_sequential(kept)
+    seg_final = jnp.minimum(seg_final, max_cells - 1)
+    return seg_final, n_cells, registered
