@@ -109,32 +109,47 @@ def stitch_tiles(tile_volumes, tile_masks, grid, tile_shape, overlap: int,
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _lp_cv_3d_device(vol, patch_size, theta_range, phi_range, chunk_xy):
+    x, y, z = vol.shape
+    pad = (patch_size - 1) // 2
+    gx = -(-x // chunk_xy)
+    gy = -(-y // chunk_xy)
+    padded = jnp.pad(
+        vol, ((pad, pad + gx * chunk_xy - x),
+              (pad, pad + gy * chunk_xy - y), (pad, pad)), mode="edge")
+
+    coords = jnp.stack(jnp.meshgrid(
+        jnp.arange(gx, dtype=jnp.int32) * chunk_xy,
+        jnp.arange(gy, dtype=jnp.int32) * chunk_xy,
+        indexing="ij"), axis=-1).reshape(-1, 2)
+
+    def per_chunk(c):
+        block = jax.lax.dynamic_slice(
+            padded, (c[0], c[1], 0),
+            (chunk_xy + 2 * pad, chunk_xy + 2 * pad, z + 2 * pad))
+        rnc = lp.line_profile_3d(block, patch_size, theta_range, phi_range)
+        return lp._lp_cv_combine(rnc)
+
+    chunks = jax.lax.map(per_chunk, coords)  # (gx*gy, cxy, cxy, z)
+    out = chunks.reshape(gx, gy, chunk_xy, chunk_xy, z)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+        gx * chunk_xy, gy * chunk_xy, z)
+    return out[:x, :y]
+
+
 def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
                              chunk_xy: int = 64):
     """Fused 3D LP-CV enhancement, xy-chunked with halo so the per-chunk
     (72, cx, cy, Z) scratch stays in budget (the reference's chunk loop,
-    biofilm_analysis.py:1105-1126, as halo'd dynamic slices)."""
+    biofilm_analysis.py:1105-1126) — one jitted program sweeping the chunk
+    grid with lax.map (no per-chunk host dispatch)."""
     vol = jnp.asarray(volume, jnp.float32)
-    x, y, z = vol.shape
-    pad = (cfg.patch_size - 1) // 2
-    padded = jnp.pad(vol, pad, mode="edge")
-
-    @jax.jit
-    def chunk(cx0, cy0):
-        block = jax.lax.dynamic_slice(
-            padded, (cx0, cy0, 0),
-            (chunk_xy + 2 * pad, chunk_xy + 2 * pad, z + 2 * pad))
-        rnc = lp.line_profile_3d(block, cfg.patch_size, cfg.theta_range,
-                                 cfg.phi_range)
-        return lp._lp_cv_combine(rnc)
-
-    out = np.zeros((x, y, z), np.float32)
-    for cx0 in range(0, x, chunk_xy):
-        for cy0 in range(0, y, chunk_xy):
-            block = np.asarray(chunk(jnp.int32(cx0), jnp.int32(cy0)))
-            out[cx0:cx0 + chunk_xy, cy0:cy0 + chunk_xy] = (
-                block[: min(chunk_xy, x - cx0), : min(chunk_xy, y - cy0)])
-    return jnp.asarray(out)
+    return _lp_cv_3d_device(vol, cfg.patch_size, cfg.theta_range,
+                            cfg.phi_range, chunk_xy)
 
 
 # ---------------------------------------------------------------------------
