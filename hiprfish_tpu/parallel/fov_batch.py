@@ -26,8 +26,10 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
 
     @functools.partial(jax.jit, static_argnums=())
     def run(stack, clf_arrays):
+        # Pallas kernels have no batching rule; the vmapped batch path uses
+        # the XLA formulations (same math).
         step = lambda st: fused.fov_step(st, clf_arrays, cfg, max_cells,
-                                         clf_static, denoise)
+                                         clf_static, denoise, False)
         return jax.vmap(step)(stack)
 
     def call(stack, clf_arrays):

@@ -44,7 +44,8 @@ class FovResult(NamedTuple):
 
 
 def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
-                        max_cells: int, denoise: bool = True):
+                        max_cells: int, denoise: bool = True,
+                        pallas_ok: bool = True):
     """Pure-device LP-CV segmentation of one FOV (multispecies semantics,
     multispecies_spectral_image_measurement.py:78-157). ``stack`` is a tuple
     of per-laser (H, W, C_l) arrays."""
@@ -61,12 +62,17 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
     if denoise:
-        den = dn.denoise_nl_means_auto(
-            sum_norm, cfg.nlm_h, cfg.nlm_patch_size, cfg.nlm_patch_distance)
+        nlm = (dn.denoise_nl_means_auto if pallas_ok
+               else dn.denoise_nl_means)
+        den = nlm(sum_norm, cfg.nlm_h, cfg.nlm_patch_size,
+                  cfg.nlm_patch_distance)
     else:
         den = sum_norm
-    from hiprfish_tpu.ops.lp_pallas import lp_cv_enhance_2d_auto
-    enhanced = lp_cv_enhance_2d_auto(den, cfg.patch_size, cfg.phi_range)
+    if pallas_ok:
+        from hiprfish_tpu.ops.lp_pallas import lp_cv_enhance_2d_auto as _lp
+    else:
+        _lp = lp.lp_cv_enhance_2d
+    enhanced = _lp(den, cfg.patch_size, cfg.phi_range)
 
     bkg = km.brightest_cluster_mask(den, 2, cfg.kmeans_iters)
     # Intersect with the intensity background filter before the morphology
@@ -118,9 +124,10 @@ def classify_device(avgint_norm, check_params, check_blocks, scaler_mean,
     return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
-             clf_static, denoise: bool = True) -> FovResult:
+             clf_static, denoise: bool = True,
+             pallas_ok: bool = True) -> FovResult:
     """The flagship forward step: raw per-laser planes -> barcode calls.
 
     clf_arrays: dict of classifier arrays (train_features (N, D) f32,
@@ -131,7 +138,8 @@ def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
     (n_classes, blocks, check_slice, n_channels, k, temperature,
      check_blocks) = clf_static
     seg, n_cells, registered = segment_lpcv_device(
-        stack, clf_arrays.get("calibration"), cfg, max_cells, denoise)
+        stack, clf_arrays.get("calibration"), cfg, max_cells, denoise,
+        pallas_ok)
     avgint = rp.mean_intensities(seg, registered, max_cells)
     avgint_norm = avgint / jnp.maximum(
         jnp.max(avgint, axis=1, keepdims=True), 1e-12)
