@@ -22,10 +22,6 @@ def main(argv=None):
                         help="Mix ids (default: all)")
     args = parser.parse_args(argv)
     if args.mix:
-        pattern = os.path.join(
-            args.data_dir,
-            "images_table_mix_{" + ",".join(args.mix) + "}_results_abundance.csv")
-        # glob has no brace expansion; fall back to per-mix plots
         for m in args.mix:
             g = os.path.join(args.data_dir,
                              f"images_table_mix_{m}_results_abundance.csv")

@@ -9,7 +9,7 @@ FOV computes — so the TPU never waits on ingest.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from hiprfish_tpu.io import images as iio
 

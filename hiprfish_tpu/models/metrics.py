@@ -19,7 +19,7 @@ Semantics reproduced (channel_cosine_intensity, train_reference.py:223-386):
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

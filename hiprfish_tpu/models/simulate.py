@@ -13,14 +13,12 @@ per-code mvnormal draws batch through a single Cholesky-matmul.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hiprfish_tpu.config import ChannelLayout
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ from hiprfish_tpu.config import (
 )
 from hiprfish_tpu.models import simulate as sim
 from hiprfish_tpu.models.artifacts import save_classifier
-from hiprfish_tpu.models.classifier import SpectralClassifier, train_classifier
+from hiprfish_tpu.models.classifier import train_classifier
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,6 @@ import re
 import numpy as np
 import pandas as pd
 
-from hiprfish_tpu.config import TEN_BIT
 from hiprfish_tpu.io import tables
 
 
