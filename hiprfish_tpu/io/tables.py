@@ -87,6 +87,66 @@ def reference_clf_path(data_dir: str, ref_folder: str, spc) -> str:
     )
 
 
+def _row_get(row, key, default=None):
+    """Column lookup on a pandas row / Series / dict with a default for
+    missing columns (tables from the ecoli pipeline lack the REFERENCE_*
+    dispatch columns entirely)."""
+    try:
+        val = row[key]
+    except (KeyError, IndexError):
+        return default
+    if pd.isna(val):
+        return default
+    return val
+
+
+def reference_clf_path_from_row(data_dir: str, row) -> str:
+    """Full classifier-filename convention tree of the reference
+    (hiprfish-image-analysis-reference/Snakefile:47-71): dispatch on
+    REFERENCE_TYPE 'A' / REFERENCE_NORMALIZATION / REFERENCE_SCOPE 'Select'
+    (mix id parsed from INPUT_TAB_FILENAME) / REFERENCE_UMAP.
+
+    ``row`` is one experiment-table row (pandas Series or dict). Missing
+    columns default to the ecoli convention (normalized, umap, full scope).
+    """
+    ref_folder = _row_get(row, "REFERENCE_FOLDER", "")
+    spc = _row_get(row, "SPC", 2000)
+    ref_type = _row_get(row, "REFERENCE_TYPE", "S")
+    ref_norm = _row_get(row, "REFERENCE_NORMALIZATION", "T")
+    ref_scope = _row_get(row, "REFERENCE_SCOPE", "All")
+    ref_umap = _row_get(row, "REFERENCE_UMAP", "T")
+
+    def path(name: str) -> str:
+        return os.path.join(data_dir, str(ref_folder), name)
+
+    mix_id = None
+    if ref_scope == "Select":
+        tab = str(_row_get(row, "INPUT_TAB_FILENAME", ""))
+        m = re.search(r"mix_([0-9]+)", tab)
+        if m is None:
+            raise ValueError(
+                "REFERENCE_SCOPE='Select' requires a 'mix_<n>' tag in "
+                f"INPUT_TAB_FILENAME (got {tab!r}; reference/Snakefile:55)")
+        mix_id = int(m.group(1))
+
+    if ref_type == "A":
+        return path("reference_all.pkl")
+    if ref_norm == "T":
+        if ref_scope == "Select":
+            return path(
+                "reference_simulate_select_mix_{}_{}_normalized_"
+                "umap_transform.pkl".format(mix_id, spc))
+        if ref_umap == "T":
+            return path(
+                "reference_simulate_{}_excitation_adjusted_normalized_"
+                "violet_derivative_umap_transform.pkl".format(spc))
+        return path(
+            "reference_simulate_{}_normalized_excitation_adjusted.pkl".format(spc))
+    if ref_scope == "Select":
+        return path("reference_simulate_select_mix_{}_{}.pkl".format(mix_id, spc))
+    return path("reference_simulate_{}.pkl".format(spc))
+
+
 def read_probe_design(path: str) -> pd.DataFrame:
     """Probe-design CSV with string barcode codes (biofilm_analysis.py:1428)."""
     return pd.read_csv(path, dtype={"code": str})

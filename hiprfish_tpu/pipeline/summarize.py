@@ -192,6 +192,42 @@ def plot_titration_correlation(results_glob: str, output_pdf: str):
     return res
 
 
+_N_CHECKS_BY_NBITS = {7: 4, 10: 6}  # per-laser check-bit heads per layout
+
+
+def _read_cell_information(path: str, nbits: int):
+    """Read one cell_information table and return (barcodes, spectra).
+
+    Handles both on-disk schemas layout-independently:
+      * headerless 7-bit files (classify_spectra.py:36-47): columns are
+        [n_channels spectra | n_checks check bits | barcode | metadata...];
+        the barcode column is located by value shape (nbits-wide 0/1 strings)
+        and the spectra slice derived from it, instead of assuming 63
+        channels or a fixed metadata width.
+      * named biofilm files (biofilm_analysis.py:1232-1245 equivalent, with
+        per-class probability columns): 'cell_barcode' + 'channel_<i>'.
+    Returns (None, None) when no barcode column can be identified.
+    """
+    head = pd.read_csv(path, nrows=1)
+    if "cell_barcode" in head.columns:
+        df = pd.read_csv(path, dtype={"cell_barcode": str})
+        chan_cols = [c for c in df.columns if re.match(r"^channel_[0-9]+$", c)]
+        return df["cell_barcode"].astype(str), df.loc[:, chan_cols].astype(float)
+    df = pd.read_csv(path, header=None, dtype=str)
+    barcode_re = re.compile(r"^[01]{%d}(_error)?$" % nbits)
+    code_col = None
+    for j in range(df.shape[1]):
+        vals = df.iloc[:, j].dropna().astype(str)
+        if len(vals) and vals.str.match(barcode_re).all():
+            code_col = j
+            break
+    if code_col is None:
+        return None, None
+    n_checks = _N_CHECKS_BY_NBITS.get(nbits, 0)
+    spectra = df.iloc[:, : code_col - n_checks].astype(float)
+    return df.iloc[:, code_col].astype(str), spectra
+
+
 def summarize_multispecies_error_rate(input_folder: str,
                                       probe_design_filenames,
                                       encoding_sets=("B", "C", "A"),
@@ -218,15 +254,14 @@ def summarize_multispecies_error_rate(input_folder: str,
             if not m:
                 continue
             taxid = int(m.group(1))
-            cell_info = pd.read_csv(f, header=None, dtype={67: str})
-            code_col = cell_info.shape[1] - 10  # barcode column before metadata
-            barcodes = cell_info.iloc[:, code_col].astype(str)
             row = summary.target_taxon == taxid
             if not row.any():
                 continue
             expected = summary.loc[row, "code"].values[0]
             nbits = len(expected)
-            spectra = cell_info.iloc[:, : nbits and 63].astype(float)
+            barcodes, spectra = _read_cell_information(f, nbits)
+            if barcodes is None:
+                continue
             max_int = spectra.values.max(axis=1)
             mode = sstats.mode(np.round(max_int, 3), axis=None, keepdims=False).mode
             keep = max_int > 0.75 * float(mode)

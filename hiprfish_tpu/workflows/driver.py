@@ -83,9 +83,8 @@ def run_ecoli_workflow(config_path: str, log: RunLog | None = None,
 
         clf_outputs = [prefix + "_cell_ids.txt", prefix + "_avgint_ids.csv"]
         if not _outputs_fresh(clf_outputs, [prefix + "_avgint.csv"]):
-            ref_clf = tables.reference_clf_path(
-                cfg.data_dir, tab.loc[i, "REFERENCE_FOLDER"],
-                tab.loc[i, "SPC"] if "SPC" in tab.columns else 2000)
+            ref_clf = tables.reference_clf_path_from_row(
+                cfg.data_dir, tab.loc[i])
             npz = ref_clf[:-len(".pkl")] + ".npz"
             if npz not in clf_cache:
                 clf_cache[npz] = load_classifier(npz)

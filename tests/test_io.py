@@ -83,6 +83,41 @@ def test_reference_clf_path():
         "violet_derivative_umap_transform.pkl")
 
 
+def test_reference_clf_path_from_row_convention_tree():
+    """Table-driven walk of every branch of the reference's get_reference_clf
+    (hiprfish-image-analysis-reference/Snakefile:47-71)."""
+    base = {"REFERENCE_FOLDER": "ref", "SPC": 500,
+            "INPUT_TAB_FILENAME": "images_table_mix_7.csv"}
+    cases = [
+        # (row overrides, expected filename)
+        ({"REFERENCE_TYPE": "A"}, "reference_all.pkl"),
+        ({"REFERENCE_NORMALIZATION": "T", "REFERENCE_SCOPE": "Select"},
+         "reference_simulate_select_mix_7_500_normalized_umap_transform.pkl"),
+        ({"REFERENCE_NORMALIZATION": "T", "REFERENCE_UMAP": "T"},
+         "reference_simulate_500_excitation_adjusted_normalized_"
+         "violet_derivative_umap_transform.pkl"),
+        ({"REFERENCE_NORMALIZATION": "T", "REFERENCE_UMAP": "F"},
+         "reference_simulate_500_normalized_excitation_adjusted.pkl"),
+        ({"REFERENCE_NORMALIZATION": "F", "REFERENCE_SCOPE": "Select"},
+         "reference_simulate_select_mix_7_500.pkl"),
+        ({"REFERENCE_NORMALIZATION": "F"}, "reference_simulate_500.pkl"),
+    ]
+    for overrides, expected in cases:
+        row = dict(base, **overrides)
+        p = tables.reference_clf_path_from_row("/d", row)
+        assert p == os.path.join("/d", "ref", expected), (overrides, p)
+    # Ecoli tables without the dispatch columns resolve to the default branch.
+    p = tables.reference_clf_path_from_row(
+        "/d", {"REFERENCE_FOLDER": "ref", "SPC": 2000})
+    assert p == tables.reference_clf_path("/d", "ref", 2000)
+    # Select scope without a mix tag is a hard error, not a silent fallback.
+    import pytest
+    with pytest.raises(ValueError):
+        tables.reference_clf_path_from_row(
+            "/d", dict(base, REFERENCE_SCOPE="Select",
+                       INPUT_TAB_FILENAME="images_table.csv"))
+
+
 def test_bvox_export(tmp_path):
     vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
     p = str(tmp_path / "v.bvox")

@@ -140,3 +140,46 @@ def test_czi_native_decoder(tmp_path, rng):
         pytest.skip("native library unavailable")
     out = czi_native.load_plane_native(czi.CziFile(path))
     np.testing.assert_allclose(out, plane, rtol=1e-6)
+
+
+def test_read_cell_information_schemas(tmp_path, rng):
+    """Layout-derived column indexing of summarize._read_cell_information:
+    headerless 7-bit files (classify_spectra.py schema), files with _error
+    barcode calls, and named biofilm files with probability columns."""
+    import pandas as pd
+    from hiprfish_tpu.pipeline.summarize import _read_cell_information
+
+    # Headerless 7-bit: 63 spectra + 4 checks + barcode + 9 metadata cols.
+    n = 12
+    spectra = rng.rand(n, 63)
+    checks = rng.randint(0, 2, (n, 4)).astype(float)
+    codes = ["0101010"] * (n - 1) + ["0101011_error"]
+    meta = np.column_stack([
+        np.array(["s"] * n), np.arange(1, n + 1),
+        rng.rand(n), rng.rand(n), rng.rand(n), rng.rand(n),
+        rng.rand(n), rng.rand(n), rng.randint(60, 900, n)])
+    df = pd.DataFrame(np.column_stack(
+        [spectra, checks, np.array(codes)[:, None], meta]))
+    p7 = tmp_path / "a_7b_cell_information.csv"
+    df.to_csv(p7, index=None, header=None)
+    barcodes, spec = _read_cell_information(str(p7), 7)
+    assert list(barcodes) == codes
+    assert spec.shape == (n, 63)
+    np.testing.assert_allclose(spec.values, spectra, rtol=1e-5)
+
+    # Named biofilm schema with per-class probability columns.
+    bio = pd.DataFrame(rng.rand(n, 63),
+                       columns=[f"channel_{i}" for i in range(63)])
+    for c in range(4):
+        bio[f"check_{c}"] = checks[:, c]
+    bio["cell_barcode"] = "0011001"
+    bio["max_probability"] = rng.rand(n)
+    bio["0011001_prob"] = rng.rand(n)
+    bio["0101010_prob"] = rng.rand(n)
+    bio["sample"] = "s"
+    bio["area"] = rng.randint(60, 900, n)
+    pb = tmp_path / "b_cell_information.csv"
+    bio.to_csv(pb, index=None)
+    barcodes, spec = _read_cell_information(str(pb), 7)
+    assert (barcodes == "0011001").all()
+    assert spec.shape == (n, 63)
