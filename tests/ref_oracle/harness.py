@@ -1,0 +1,169 @@
+"""Shared parity-measurement harness: runs the TPU pipeline and the
+reference oracle on the same synthetic FOVs and reports comparable metrics.
+Used by tests/test_parity_reference.py and tools/make_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import classify as rc
+from . import pipelines as rp
+
+
+def match_cells(seg_a: np.ndarray, seg_b: np.ndarray):
+    """Greedy max-overlap matching of labels in seg_a to labels in seg_b.
+    Returns list of (label_a, label_b, iou) for every a-label with any
+    overlap, plus the count of a-labels with none."""
+    seg_a = np.asarray(seg_a)
+    seg_b = np.asarray(seg_b)
+    ids_a = np.unique(seg_a)
+    ids_a = ids_a[ids_a > 0]
+    area_b = np.bincount(seg_b.ravel())
+    pairs = []
+    unmatched = 0
+    for a in ids_a:
+        mask = seg_a == a
+        overl = seg_b[mask]
+        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
+        if len(vals) == 0:
+            unmatched += 1
+            continue
+        b = int(vals[np.argmax(cnt)])
+        inter = int(cnt.max())
+        union = int(mask.sum()) + int(area_b[b]) - inter
+        pairs.append((int(a), b, inter / union))
+    return pairs, unmatched
+
+
+def truth_code_per_label(seg: np.ndarray, truth_labels: np.ndarray,
+                         barcodes) -> dict:
+    """label -> planted barcode id via max-overlap with ground truth."""
+    out = {}
+    ids = np.unique(seg)
+    for lab in ids[ids > 0]:
+        overl = truth_labels[seg == lab]
+        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
+        if len(vals):
+            out[int(lab)] = barcodes[int(vals[np.argmax(cnt)]) - 1]
+    return out
+
+
+def segmentation_parity(fov: dict, pipeline: str, max_cells: int = 512):
+    """Run oracle + TPU segmentation/measurement on one FOV dict from
+    synthetic.make_fov. Returns (metrics, bundle) where bundle carries the
+    per-engine segmentations and normalized spectra for classification
+    parity."""
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.config import SegmentationConfig
+    from hiprfish_tpu.pipeline import measure, segment2d
+
+    stack = fov["stack"]
+    if pipeline == "ecoli":
+        seg_ref, reg_ref = rp.segment_images_ecoli(stack)
+        res = segment2d.segment_ecoli(stack, SegmentationConfig(), max_cells)
+    elif pipeline == "multispecies":
+        _, reg_ref, _, seg_ref = rp.generate_2d_segmentation_multispecies(stack)
+        res = segment2d.segment_lpcv(stack, None, SegmentationConfig(),
+                                     max_cells)
+    else:
+        raise ValueError(pipeline)
+    avg_ref = rp.measure_avgint(seg_ref, reg_ref)
+    norm_ref = avg_ref / np.maximum(avg_ref.max(axis=1, keepdims=True), 1e-12)
+
+    seg_tpu = np.asarray(res.segmentation)
+    n_tpu = int(res.n_cells)
+    avg_tpu, norm_tpu = measure.measure_fov(
+        res.segmentation, res.registered, n_tpu, max_cells)
+
+    ref_ids = np.unique(seg_ref)
+    ref_ids = ref_ids[ref_ids > 0]
+    n_ref = len(ref_ids)
+    pairs, unmatched = match_cells(seg_ref, seg_tpu)
+    ious = [p[2] for p in pairs]
+
+    # avgint agreement on matched cells: cosine of normalized spectra.
+    # Oracle avgint rows follow increasing reference label; TPU rows are
+    # label-1 (sequential-label contract).
+    ref_row = {int(lab): i for i, lab in enumerate(ref_ids)}
+    cos = []
+    for a, b, _ in pairs:
+        u = norm_ref[ref_row[a]]
+        v = norm_tpu[b - 1]
+        cos.append(float(
+            u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-30)))
+    metrics = {
+        "n_cells_ref": n_ref,
+        "n_cells_tpu": n_tpu,
+        "matched": len(pairs),
+        "unmatched_ref": unmatched,
+        "mean_iou": float(np.mean(ious)) if ious else 0.0,
+        "min_iou": float(np.min(ious)) if ious else 0.0,
+        "mean_spectrum_cos": float(np.mean(cos)) if cos else 0.0,
+        "min_spectrum_cos": float(np.min(cos)) if cos else 0.0,
+    }
+    bundle = {
+        "seg_ref": seg_ref, "seg_tpu": seg_tpu,
+        "norm_ref": norm_ref, "norm_tpu": np.asarray(norm_tpu),
+        "pairs": pairs, "ref_row": ref_row,
+    }
+    return metrics, bundle
+
+
+def classification_parity(bundle: dict, fov: dict, barcodes,
+                          ref_clf, tpu_clf):
+    """Barcode agreement between the oracle classifier and the TPU
+    classifier, plus each side's accuracy vs planted truth.
+
+    Two comparisons:
+      * same-spectra: both classifiers on the oracle-measured spectra —
+        isolates classifier parity;
+      * end-to-end: oracle(seg+measure+classify) vs tpu(seg+measure+
+        classify) on cells matched across the two segmentations.
+    """
+    import jax.numpy as jnp
+
+    norm_ref = bundle["norm_ref"]
+    norm_tpu = bundle["norm_tpu"]
+
+    calls_ref = ref_clf.predict(norm_ref)
+    calls_tpu_on_ref, _, _, _ = tpu_clf.classify(jnp.asarray(norm_ref))
+    calls_tpu_on_ref = np.asarray(
+        [c.split("_")[0] for c in calls_tpu_on_ref])
+    calls_ref_clean = np.asarray([str(c).split("_")[0] for c in calls_ref])
+    same_spectra_agree = float(
+        np.mean(calls_ref_clean == calls_tpu_on_ref)) if len(norm_ref) else 1.0
+
+    calls_tpu, _, _, _ = tpu_clf.classify(jnp.asarray(norm_tpu))
+    calls_tpu = np.asarray([c.split("_")[0] for c in calls_tpu])
+
+    # Truth accuracy per engine.
+    nbits = len(calls_ref_clean[0]) if len(calls_ref_clean) else 0
+    truth_ref = truth_code_per_label(
+        bundle["seg_ref"], fov["truth_labels"], barcodes)
+    truth_tpu = truth_code_per_label(
+        bundle["seg_tpu"], fov["truth_labels"], barcodes)
+    fmt = "0{}b".format(nbits)
+
+    ref_ids = sorted(truth_ref)
+    acc_ref = float(np.mean([
+        calls_ref_clean[bundle["ref_row"][lab]] == format(truth_ref[lab], fmt)
+        for lab in ref_ids])) if ref_ids else 0.0
+    tpu_ids = sorted(truth_tpu)
+    acc_tpu = float(np.mean([
+        calls_tpu[lab - 1] == format(truth_tpu[lab], fmt)
+        for lab in tpu_ids])) if tpu_ids else 0.0
+
+    # End-to-end agreement on matched cells.
+    agree = []
+    for a, b, _ in bundle["pairs"]:
+        agree.append(
+            calls_ref_clean[bundle["ref_row"][a]] == calls_tpu[b - 1])
+    return {
+        "same_spectra_agreement": same_spectra_agree,
+        "e2e_agreement": float(np.mean(agree)) if agree else 0.0,
+        "n_compared": len(agree),
+        "ref_truth_accuracy": acc_ref,
+        "tpu_truth_accuracy": acc_tpu,
+    }
