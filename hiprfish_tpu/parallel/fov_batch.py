@@ -1,14 +1,15 @@
 """FOV-batch data parallelism: the sharded replacement for Snakemake fan-out.
 
-A batch of FOVs is stacked on a leading axis, sharded over the mesh's 'fov'
-axis, and the fused per-FOV pipeline (pipeline/fused.fov_step) is vmapped
-inside jit — one compiled program processes B FOVs across all chips; the
-classifier reference matrix is replicated.
+A batch of FOVs is stacked on a leading axis and sharded over the mesh's
+'fov' axis with shard_map; inside each shard the fused per-FOV pipeline
+(pipeline/fused.fov_step) runs UNBATCHED under lax.map — so every device
+executes the exact single-FOV program, Pallas kernels included (a vmap
+formulation would silently fall back to the slower XLA kernels: Pallas calls
+have no batching rule). One compiled program processes B FOVs across all
+chips; the classifier reference matrix is replicated.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,15 +23,22 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
                      clf_static, denoise: bool = True):
     """Compiled batched pipeline: stacks (B, H, W, C_l) per laser, sharded
     over 'fov'. Returns a function (stack_tuple, clf_arrays) -> FovResult
-    with leading batch dims."""
+    with leading batch dims. B must be a multiple of the mesh's 'fov' size;
+    each device sweeps its local FOVs sequentially at single-FOV speed."""
+    from jax.experimental.shard_map import shard_map
 
-    @functools.partial(jax.jit, static_argnums=())
-    def run(stack, clf_arrays):
-        # Pallas kernels have no batching rule; the vmapped batch path uses
-        # the XLA formulations (same math).
-        step = lambda st: fused.fov_step(st, clf_arrays, cfg, max_cells,
-                                         clf_static, denoise, False)
-        return jax.vmap(step)(stack)
+    def local(stack, clf_arrays):
+        def step(st):
+            return fused.fov_step(st, clf_arrays, cfg, max_cells,
+                                  clf_static, denoise, True)
+        return jax.lax.map(step, stack)
+
+    run = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("fov"), P()),
+        out_specs=P("fov"),
+        check_rep=False,
+    ))
 
     def call(stack, clf_arrays):
         sharding = NamedSharding(mesh, P("fov"))

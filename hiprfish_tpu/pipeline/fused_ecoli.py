@@ -99,3 +99,35 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     seg_final, n_cells = lab.relabel_sequential(kept)
     seg_final = jnp.minimum(seg_final, max_cells - 1)
     return seg_final, n_cells, registered
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fov_step_ecoli(stack, clf_arrays, cfg: SegmentationConfig,
+                   max_cells: int, clf_static):
+    """Single-program 10-bit forward step: raw per-laser planes -> barcode
+    class indices (the ecoli counterpart of fused.fov_step; classification
+    is the 132-d feature build + 6 check heads + gated kNN of
+    image_classification.py:38-56)."""
+    from hiprfish_tpu.pipeline import fused
+
+    (n_classes, blocks, check_slice, n_channels, k, temperature,
+     check_blocks) = clf_static
+    seg, n_cells, registered = segment_ecoli_device(stack, cfg, max_cells)
+    avgint = rp.mean_intensities(seg, registered, max_cells)
+    avgint_norm = avgint / jnp.maximum(
+        jnp.max(avgint, axis=1, keepdims=True), 1e-12)
+    # Violet-derivative feature block (image_classification.py:47-48).
+    lo, hi = blocks[0]
+    feats_base = jnp.concatenate(
+        [avgint_norm, jnp.diff(avgint_norm[:, lo:hi], axis=1)], axis=1)
+    code_idx, max_prob = fused.classify_device(
+        feats_base,
+        clf_arrays["check_params"],
+        check_blocks,
+        clf_arrays.get("scaler_mean"),
+        clf_arrays.get("scaler_scale"),
+        clf_arrays["train_features"],
+        clf_arrays["train_labels"],
+        n_classes, blocks, check_slice, n_channels, k, temperature,
+    )
+    return seg, n_cells, avgint_norm, code_idx, max_prob

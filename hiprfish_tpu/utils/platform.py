@@ -1,9 +1,14 @@
-"""Platform selection helper.
+"""Platform selection + persistent-compile-cache helper.
 
 Some deployments pin a TPU plugin via sitecustomize, which overrides
 JAX_PLATFORMS. HIPRFISH_PLATFORM=cpu[:N] (e.g. 'cpu:8' for 8 virtual
 devices) forces the platform through the config API, which wins if applied
 before first device use. CLI entry points call apply_platform_env() first.
+
+The 3D programs cold-compile in minutes; every CLI therefore enables JAX's
+persistent compilation cache (HIPRFISH_CACHE_DIR overrides the location,
+HIPRFISH_CACHE_DIR=0 disables; an explicit JAX_COMPILATION_CACHE_DIR always
+wins) so a pipeline binary pays each compile once per machine.
 """
 
 from __future__ import annotations
@@ -11,7 +16,20 @@ from __future__ import annotations
 import os
 
 
+def apply_compile_cache_env() -> None:
+    spec = os.environ.get("HIPRFISH_CACHE_DIR")
+    if spec == "0":
+        return
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        cache = spec or os.path.join(
+            os.path.expanduser("~"), ".cache", "hiprfish_tpu", "jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
 def apply_platform_env() -> None:
+    apply_compile_cache_env()
     spec = os.environ.get("HIPRFISH_PLATFORM")
     if not spec:
         return

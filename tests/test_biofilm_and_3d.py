@@ -158,3 +158,69 @@ def test_stitch_tiles_blend():
         overlap=4, out_shape=(60, 60, 24), pad=10)
     assert out.shape == (60, 60, 24)
     assert out.max() <= tile.max() + 1e-5  # blending never exceeds inputs
+
+
+def test_stitch_tiles_device_and_streamed_measurement():
+    """Device stitcher reconstructs a volume exactly from aligned tiles and
+    recovers known per-tile misalignments; streamed volumetric measurement
+    recovers per-cell barcode spectra from generated z-slabs."""
+    import jax
+    import jax.numpy as jnp
+    from hiprfish_tpu.config import SEVEN_BIT
+    from hiprfish_tpu.utils import synthetic, synthetic3d as s3
+    from hiprfish_tpu.pipeline import segment3d
+
+    spec = s3.VolumeSpec(shape=(180, 180, 40), spacing=(45, 45, 40),
+                         jitter=(3., 3., 3.), semi_axes_lo=(10., 6., 8.),
+                         semi_axes_hi=(12., 8., 10.), seed=3)
+    codes = list(range(1, 64))
+    lut = np.stack([synthetic.barcode_spectrum(SEVEN_BIT, c) for c in codes])
+    vol = s3.build_sum_volume(spec, len(codes), lut.sum(axis=1), seed=1,
+                              z_chunk=16)
+
+    # 2x2 tiles, 40-px overlap (tile 110, step 70).
+    tiles = [vol[i * 70:i * 70 + 110, j * 70:j * 70 + 110, :]
+             for i in range(2) for j in range(2)]
+    st = segment3d.stitch_tiles_device(tiles, (2, 2), 40, (180, 180, 40),
+                                       pad=4)
+    err = float(jnp.abs(st[4:184, 4:184, 4:44] - vol).max())
+    assert err == 0.0
+
+    # Misaligned tiles: stitching must recover the rolls. Rolled wrap strips
+    # are flagged invalid via tile masks (the microscope-frame validity
+    # contract of the host stitch_tiles).
+    shifts = [(0, 0, 0), (2, -1, 1), (-1, 2, 0), (1, 1, -1)]
+    tiles2 = [jnp.roll(t, s, axis=(0, 1, 2)) for t, s in zip(tiles, shifts)]
+
+    def wrap_mask(s):
+        m = np.ones((110, 110, 40), np.float32)
+        for ax, sh in enumerate(s):
+            sl = [slice(None)] * 3
+            if sh > 0:
+                sl[ax] = slice(0, sh)
+            elif sh < 0:
+                sl[ax] = slice(sh, None)
+            else:
+                continue
+            m[tuple(sl)] = 0.0
+        return m
+
+    st2 = segment3d.stitch_tiles_device(
+        tiles2, (2, 2), 40, (180, 180, 40), pad=6,
+        tile_masks=[wrap_mask(s) for s in shifts])
+    inner = (slice(12, 168), slice(12, 168), slice(4, 36))
+    err2 = float(jnp.abs(st2[6:186, 6:186, 6:46][inner] - vol[inner]).max())
+    assert err2 < 1e-5, err2  # blend-division rounding only
+
+    # Streamed measurement against the analytic truth labels.
+    truth, code_idx, _ = s3.truth_chunk(spec, len(codes), 0, 40)
+    key = jax.random.PRNGKey(1)
+    loader = lambda z0, zc: s3.channel_chunk(
+        spec, len(codes), z0, zc, jnp.asarray(lut, jnp.float32), key)
+    avg = np.asarray(segment3d.measure_volume_streamed(
+        truth, loader, 40, 16, 63, 64))
+    node_code = s3.node_codes(spec, len(codes))
+    lut_n = lut / np.linalg.norm(lut, axis=1, keepdims=True)
+    for lab in range(1, spec.n_cells + 1):
+        v = avg[lab] / (np.linalg.norm(avg[lab]) + 1e-30)
+        assert int(np.argmax(lut_n @ v)) == int(node_code[lab - 1])
