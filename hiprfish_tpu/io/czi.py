@@ -35,8 +35,44 @@ PIXEL_DTYPES = {
 PIXEL_SAMPLES = {3: 3}
 
 COMP_UNCOMPRESSED = 0
+COMP_JPEG = 1
+COMP_JPEGXR = 4
 COMP_ZSTD0 = 5
 COMP_ZSTD1 = 6
+
+# Pluggable decoders for the codec compressions (JPEG / JPEG-XR). Zeiss
+# confocal exports commonly use JPEG-XR, which the reference inherits from
+# bioformats' bundled codec. There is no JXR implementation in this
+# environment to bind against, so the reader exposes a registry: decoders
+# are picked up automatically from `imagecodecs` when that package is
+# importable, or can be registered explicitly with
+# ``register_decompressor(COMP_JPEGXR, fn)`` where ``fn(raw, entry) ->
+# np.ndarray`` returns the decoded (Y, X[, S]) array.
+_DECOMPRESSORS: dict = {}
+
+
+def register_decompressor(compression: int, fn) -> None:
+    """Register a decoder for a CZI compression id (see module constants)."""
+    _DECOMPRESSORS[compression] = fn
+
+
+def _autoload_codecs() -> None:
+    """Best-effort wiring of imagecodecs' JPEG / JPEG-XR decoders."""
+    if _DECOMPRESSORS.get("_auto"):
+        return
+    _DECOMPRESSORS["_auto"] = True
+    try:
+        import imagecodecs
+    except ImportError:
+        return
+    if getattr(imagecodecs, "jpegxr_decode", None) is not None:
+        _DECOMPRESSORS.setdefault(
+            COMP_JPEGXR, lambda raw, entry: np.asarray(
+                imagecodecs.jpegxr_decode(raw)))
+    if getattr(imagecodecs, "jpeg8_decode", None) is not None:
+        _DECOMPRESSORS.setdefault(
+            COMP_JPEG, lambda raw, entry: np.asarray(
+                imagecodecs.jpeg8_decode(raw)))
 
 
 @dataclasses.dataclass
@@ -194,9 +230,23 @@ class CziFile:
                 raw = zstandard.ZstdDecompressor().decompress(
                     raw, max_output_size=1 << 31)
         elif entry.compression != COMP_UNCOMPRESSED:
-            raise NotImplementedError(
-                f"CZI compression {entry.compression} (JPEG/JPEG-XR) is not "
-                "supported; re-export uncompressed/zstd or convert to .npy")
+            _autoload_codecs()
+            decoder = _DECOMPRESSORS.get(entry.compression)
+            if decoder is None:
+                raise NotImplementedError(
+                    f"CZI compression {entry.compression} (JPEG/JPEG-XR) "
+                    "needs a codec: install `imagecodecs` (auto-detected) or "
+                    "register one with hiprfish_tpu.io.czi."
+                    "register_decompressor; otherwise re-export "
+                    "uncompressed/zstd or convert to .npy")
+            decoded = np.asarray(decoder(raw, entry))
+            sy = entry.dim_size("Y")
+            sx = entry.dim_size("X")
+            sc = entry.dim_size("C", 1)
+            if decoded.ndim == 3 and decoded.shape[2] > 1 and sc == 1:
+                return decoded  # multi-sample plane (Y, X, S)
+            return decoded.reshape(sy, sx, sc)[..., 0] if sc == 1 \
+                else decoded.reshape(sc, sy, sx).transpose(1, 2, 0)
         dtype = PIXEL_DTYPES.get(entry.pixel_type)
         if dtype is None:
             raise NotImplementedError(f"CZI pixel type {entry.pixel_type}")
@@ -259,11 +309,15 @@ class CziFile:
 
 def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
               metadata_xml: str = "<ImageDocument/>",
-              compression: int = COMP_UNCOMPRESSED) -> None:
+              compression: int = COMP_UNCOMPRESSED,
+              compressor=None) -> None:
     """Write a (Z, T, C, Y, X)-indexable array as a CZI.
 
     ``planes``: array of shape (Y, X, C) or (Z, Y, X, C) or (T, Z, Y, X, C).
-    ``compression``: COMP_UNCOMPRESSED or COMP_ZSTD0.
+    ``compression``: COMP_UNCOMPRESSED or COMP_ZSTD0 natively; any other id
+    (e.g. COMP_JPEGXR) requires ``compressor``, a ``bytes -> bytes`` encoder
+    for the per-plane payload (the read side resolves the matching decoder
+    through the register_decompressor registry / imagecodecs).
     """
     arr = np.asarray(planes)
     if arr.ndim == 3:
@@ -323,6 +377,12 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
                     import zstandard
 
                     data = zstandard.ZstdCompressor().compress(data)
+                elif compressor is not None:
+                    data = compressor(data)
+                elif compression != COMP_UNCOMPRESSED:
+                    raise NotImplementedError(
+                        f"writing compression {compression} needs a "
+                        "`compressor` callable")
                 entry = dir_entry(0, t, z, c)  # position fixed below
                 data_offset = max(256, 16 + len(entry))
                 payload = (struct.pack("<iiq", 0, 0, len(data)) + entry

@@ -185,12 +185,15 @@ def stitch_tiles_device(tile_volumes, grid, overlap: int, out_shape,
 import functools as _functools
 
 
-@_functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _lp_cv_3d_device(vol, patch_size, theta_range, phi_range, chunk_xy):
+@_functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _lp_cv_3d_device(vol, patch_size, theta_range, phi_range, chunk_xy,
+                     bf16: bool):
     x, y, z = vol.shape
     pad = (patch_size - 1) // 2
     gx = -(-x // chunk_xy)
     gy = -(-y // chunk_xy)
+    if bf16:
+        vol = vol.astype(jnp.bfloat16)
     padded = jnp.pad(
         vol, ((pad, pad + gx * chunk_xy - x),
               (pad, pad + gy * chunk_xy - y), (pad, pad)), mode="edge")
@@ -215,14 +218,21 @@ def _lp_cv_3d_device(vol, patch_size, theta_range, phi_range, chunk_xy):
 
 
 def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
-                             chunk_xy: int = 64):
+                             chunk_xy: int = 128, bf16: bool | None = None):
     """Fused 3D LP-CV enhancement, xy-chunked with halo so the per-chunk
     (72, cx, cy, Z) scratch stays in budget (the reference's chunk loop,
     biofilm_analysis.py:1105-1126) — one jitted program sweeping the chunk
-    grid with lax.map (no per-chunk host dispatch)."""
+    grid with lax.map (no per-chunk host dispatch).
+
+    The sweep is HBM-bound; on TPU the stencil accumulates in bfloat16
+    (min/max selection commutes with monotone rounding; the normalized
+    ratio is formed in f32), halving the traffic. Pass bf16=False to force
+    full precision (CPU backends default to f32 — emulated bf16 is slow)."""
     vol = jnp.asarray(volume, jnp.float32)
+    if bf16 is None:
+        bf16 = jax.default_backend() not in ("cpu",)
     return _lp_cv_3d_device(vol, cfg.patch_size, cfg.theta_range,
-                            cfg.phi_range, chunk_xy)
+                            cfg.phi_range, chunk_xy, bool(bf16))
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +241,7 @@ def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
 
 
 def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
-                        max_cells: int = 16384, chunk_xy: int = 64):
+                        max_cells: int = 16384, chunk_xy: int = 128):
     """3D LP-CV segmentation of an already channel-summed volume — the
     input produced by the stitched tile path
     (generate_3d_segmentation_tile_memory_efficient,
@@ -260,7 +270,7 @@ def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
 
 
 def segment_3d(volume_stack, cfg: SegmentationConfig = SegmentationConfig(),
-               max_cells: int = 16384, chunk_xy: int = 64):
+               max_cells: int = 16384, chunk_xy: int = 128):
     """3D LP-CV segmentation of per-laser volumes
     (generate_3d_segmentation_memory_efficient, biofilm_analysis.py:778-861).
 

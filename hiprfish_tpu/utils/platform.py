@@ -17,15 +17,25 @@ import os
 
 
 def apply_compile_cache_env() -> None:
+    """Enable the persistent compile cache via the jax.config API — env vars
+    are read at jax import time, which a sitecustomize-registered plugin has
+    already triggered before any user code runs, so JAX_COMPILATION_CACHE_DIR
+    set from Python would be silently ignored."""
     spec = os.environ.get("HIPRFISH_CACHE_DIR")
     if spec == "0":
         return
-    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-        cache = spec or os.path.join(
-            os.path.expanduser("~"), ".cache", "hiprfish_tpu", "jax_cache")
-        os.makedirs(cache, exist_ok=True)
-        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    cache = (os.environ.get("JAX_COMPILATION_CACHE_DIR") or spec
+             or os.path.join(os.path.expanduser("~"), ".cache",
+                             "hiprfish_tpu", "jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def apply_platform_env() -> None:

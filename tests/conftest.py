@@ -26,6 +26,14 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
+# The env vars above are ignored when a sitecustomize-registered plugin
+# already imported jax; the config API always applies.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

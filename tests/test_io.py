@@ -135,3 +135,30 @@ def test_calibration_cube():
     assert cube.shape == (4, 4, 95)
     assert (cube[:, :, :32] == 2.0).all()
     assert (cube[:, :, 32:] == 1.0).all()
+
+
+def test_czi_codec_registry_roundtrip(tmp_path, rng):
+    """Codec-compressed subblocks resolve through the decompressor registry
+    (the JPEG-XR integration point; a zlib stand-in plays the codec here
+    since no JXR implementation exists in this environment)."""
+    import zlib
+
+    plane = (rng.rand(31, 29, 3) * 60000).astype(np.uint16).astype(np.float32)
+    plane /= 65535.0
+    path = str(tmp_path / "jxr.czi")
+    czi.write_czi(path, plane, compression=czi.COMP_JPEGXR,
+                  compressor=zlib.compress)
+    f = czi.CziFile(path)
+    # Unregistered codec -> clear, actionable error.
+    with pytest.raises(NotImplementedError, match="imagecodecs"):
+        f.load_plane()
+    try:
+        czi.register_decompressor(
+            czi.COMP_JPEGXR,
+            lambda raw, entry: np.frombuffer(
+                zlib.decompress(raw), np.float32
+            ).reshape(entry.dim_size("Y"), entry.dim_size("X")))
+        got = czi.CziFile(path).load_plane()
+        np.testing.assert_allclose(got, plane, rtol=1e-6)
+    finally:
+        czi._DECOMPRESSORS.pop(czi.COMP_JPEGXR, None)

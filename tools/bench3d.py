@@ -1,0 +1,203 @@
+"""Full-scale 3D biofilm benchmark: the reference's flagship
+memory-efficient volume (2020 x 2020 x 170 stitched from 8 microscope
+tiles, hiprfish_imaging_biofilm_analysis.py:1064-1171) end-to-end on one
+chip: tile stitching (chained phase-correlation + overlap blend) ->
+xy-chunked fused 3D LP-CV enhancement -> 3D KMeans/morphology seeding ->
+3D watershed -> sequential relabel -> streamed per-cell spectral
+measurement (63 channels, z-slab segment_sum) -> 127-code kNN
+classification -> accuracy vs the analytic planted truth.
+
+All data is generated on device (utils/synthetic3d) — the spectral volume
+would be ~175 GB and never materializes. Returns a metrics dict; run
+standalone to print it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "HIPRFISH_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+
+import numpy as np
+
+from hiprfish_tpu.utils.platform import apply_compile_cache_env
+
+apply_compile_cache_env()
+
+
+def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
+        chunk_xy=128, z_chunk=5, max_cells=16384, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.config import SEVEN_BIT, ClassifierConfig, \
+        SegmentationConfig
+    from hiprfish_tpu.models import train as mtrain
+    from hiprfish_tpu.models.classifier import train_classifier
+    from hiprfish_tpu.pipeline import segment3d
+    from hiprfish_tpu.utils import synthetic, synthetic3d as s3
+
+    def log(msg):
+        if verbose:
+            print(f"# {msg}", file=sys.stderr)
+
+    def sync(x):
+        """Force a real device sync (block_until_ready is unreliable on the
+        tunneled plugin)."""
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    layout = SEVEN_BIT
+    codes = list(range(1, 128))
+    lut = np.stack([synthetic.barcode_spectrum(layout, c) for c in codes])
+    spec = s3.VolumeSpec(shape=shape, seed=5,
+                         spacing=(36, 36, min(52, shape[2])))
+    n_cells_true = spec.n_cells
+    log(f"volume {shape}, grid {spec.grid} = {n_cells_true} cells")
+
+    # Classifier (same 127-code construction as bench.py's 2D headline).
+    rng = np.random.RandomState(0)
+    rows, code_strs = [], []
+    for c in codes:
+        sp = synthetic.barcode_spectrum(layout, c, None)
+        r = rng.uniform(0.7, 1.3, (50, 1)) * sp[None, :] + \
+            rng.randn(50, layout.n_channels) * 0.02
+        rows.append(np.clip(r, 0, None))
+        code_strs += [layout.code_str(c)] * 50
+    spectra = np.concatenate(rows).astype(np.float32)
+    spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
+    checks = mtrain.check_bits_for_codes(layout, code_strs)
+    clf = train_classifier(jax.random.PRNGKey(0), layout, spectra, code_strs,
+                           checks, ClassifierConfig(check_train_steps=300))
+    code_str_to_idx = {c: i for i, c in enumerate(clf.codebook)}
+    # lut row i is barcode i+1; classifier class for lut row i:
+    lut_class = np.array([code_str_to_idx[layout.code_str(c)] for c in codes])
+
+    timings = {}
+
+    # ---- generate + cut tiles (untimed: fixture construction) ----
+    t0 = time.time()
+    vol = s3.build_sum_volume(spec, len(codes), lut.sum(axis=1), seed=1,
+                              z_chunk=16)
+    sync(vol)
+    log(f"fixture volume built on device in {time.time()-t0:.1f}s")
+    gy, gx = tile_grid
+    ty = (shape[0] + (gy - 1) * overlap) // gy
+    tx = (shape[1] + (gx - 1) * overlap) // gx
+    step_y, step_x = ty - overlap, tx - overlap
+    shift_rng = np.random.RandomState(3)
+    tile_shifts = [tuple(shift_rng.randint(-3, 4, 3)) for _ in range(gy * gx)]
+    tile_shifts[0] = (0, 0, 0)
+    tiles = [
+        jnp.roll(vol[i * step_y:i * step_y + ty,
+                     j * step_x:j * step_x + tx, :],
+                 tile_shifts[i * gx + j], axis=(0, 1, 2))
+        for i in range(gy) for j in range(gx)
+    ]
+    sync(tiles[-1])
+    del vol
+
+    # ---- stitch (timed) ----
+    pad = 10
+    t0 = time.time()
+    stitched = segment3d.stitch_tiles_device(
+        tiles, tile_grid, overlap, (shape[0], shape[1], shape[2]), pad=pad)
+    sync(stitched)
+    timings["stitch_s"] = time.time() - t0
+    log(f"stitch: {timings['stitch_s']:.1f}s")
+    stitched = stitched[pad:pad + shape[0], pad:pad + shape[1],
+                        pad:pad + shape[2]]
+    del tiles
+
+    # ---- segment (timed) ----
+    cfg = SegmentationConfig()
+    t0 = time.time()
+    seg, n_cells, enhanced = segment3d.segment_3d_from_sum(
+        stitched, cfg, max_cells, chunk_xy)
+    sync(seg)
+    timings["segment_s"] = time.time() - t0
+    n_found = int(n_cells)
+    log(f"segment: {timings['segment_s']:.1f}s, {n_found} cells "
+        f"(true {n_cells_true})")
+    del enhanced, stitched
+
+    # ---- measure (timed): streamed 63-channel segment_sum ----
+    key = jax.random.PRNGKey(1)
+    lut_dev = jnp.asarray(lut, jnp.float32)
+
+    def loader(z0, zc):
+        return s3.channel_chunk(spec, len(codes), z0, zc, lut_dev, key)
+
+    t0 = time.time()
+    avg = segment3d.measure_volume_streamed(
+        seg, loader, shape[2], z_chunk, layout.n_channels, max_cells)
+    sync(avg)
+    timings["measure_s"] = time.time() - t0
+    log(f"measure (streamed 63ch): {timings['measure_s']:.1f}s")
+
+    # ---- classify (timed) ----
+    t0 = time.time()
+    norm = avg / jnp.maximum(jnp.max(avg, axis=1, keepdims=True), 1e-12)
+    pred_idx, _, _ = clf.predict_with_proba(
+        clf.build_features(norm))
+    sync(pred_idx)
+    timings["classify_s"] = time.time() - t0
+    log(f"classify: {timings['classify_s']:.1f}s")
+
+    # ---- accuracy vs planted truth (untimed validation) ----
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def overlap_chunk(acc, z0, zc):
+        truth, code_idx, _ = s3.truth_chunk(spec, len(codes), z0, zc)
+        seg_c = jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2)
+        flat = jnp.where(truth > 0, seg_c * len(codes) + code_idx,
+                         0).reshape(-1)
+        return acc + jnp.bincount(
+            flat, length=max_cells * len(codes)).astype(jnp.int32)
+
+    acc_counts = jnp.zeros((max_cells * len(codes),), jnp.int32)
+    for z0 in range(0, shape[2], 32):
+        zc = min(32, shape[2] - z0)
+        acc_counts = overlap_chunk(acc_counts, z0, zc)
+    counts = np.asarray(acc_counts).reshape(max_cells, len(codes)).copy()
+    counts[0] = 0
+    majority_code_row = counts.argmax(axis=1)       # lut row index
+    has_truth = counts.sum(axis=1) > 0
+    truth_class = lut_class[majority_code_row]
+    pred = np.asarray(pred_idx)
+    labs = np.arange(1, min(n_found, max_cells - 1) + 1)
+    valid = has_truth[labs]
+    correct = (pred[labs][valid] == truth_class[labs][valid])
+    accuracy = float(correct.mean()) if valid.any() else 0.0
+
+    total_s = sum(timings.values())
+    mvox = shape[0] * shape[1] * shape[2] / 1e6
+    result = {
+        "seconds_total": round(total_s, 2),
+        "mvox_per_s": round(mvox / total_s, 2),
+        "cells_found": n_found,
+        "cells_true": n_cells_true,
+        "barcode_accuracy": round(accuracy, 4),
+        "matched_cells": int(valid.sum()),
+        **{k: round(v, 2) for k, v in timings.items()},
+    }
+    return result
+
+
+if __name__ == "__main__":
+    import json
+
+    scale = os.environ.get("BENCH3D_SCALE")
+    if scale:
+        f = float(scale)
+        shape = (int(2020 * f) // 4 * 4, int(2020 * f) // 4 * 4,
+                 int(170 * f) // 2 * 2)
+        print(json.dumps(run(shape=shape)))
+    else:
+        print(json.dumps(run()))
