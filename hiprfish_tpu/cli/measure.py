@@ -34,7 +34,7 @@ def measure_reference_images(image_names, cal_toggle="F",
         from hiprfish_tpu.pipeline import fused_ecoli
         import jax.numpy as jnp
 
-        seg, n_cells, registered = fused_ecoli.segment_ecoli_device(
+        seg, n_cells, registered, _ = fused_ecoli.segment_ecoli_device(
             tuple(jnp.asarray(a) for a in stack), cfg, max_cells)
         res = segment2d.Segmentation2D(
             seg, n_cells, registered, jnp.sum(registered, axis=2),

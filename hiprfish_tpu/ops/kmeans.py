@@ -38,8 +38,12 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
     stride = max(1, v.shape[0] // max_hist)
     vs = v[::stride]
     idx = jnp.clip(((vs - vmin) / span * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
-    counts = jnp.zeros((n_bins,), jnp.float32).at[idx].add(1.0)
-    sums = jnp.zeros((n_bins,), jnp.float32).at[idx].add(vs)
+    # One fused scatter for [count, value] — scatters are the dominant cost
+    # of the whole call on TPU, so halving them matters.
+    cs = jnp.zeros((n_bins, 2), jnp.float32).at[idx].add(
+        jnp.stack([jnp.ones_like(vs), vs], axis=-1))
+    counts = cs[:, 0]
+    sums = cs[:, 1]
     bin_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
     bin_pos = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins * span
     bin_val = jnp.where(counts > 0, bin_centers, bin_pos)

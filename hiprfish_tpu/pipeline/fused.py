@@ -26,8 +26,8 @@ from hiprfish_tpu.ops import kmeans as km
 from hiprfish_tpu.ops import labeling as lab
 from hiprfish_tpu.ops import line_profile as lp
 from hiprfish_tpu.ops import morphology as morph
-from hiprfish_tpu.ops import regionprops as rp
 from hiprfish_tpu.ops import register as reg
+from hiprfish_tpu.ops import segstats
 from hiprfish_tpu.models import metrics
 from hiprfish_tpu.models.classifier import _mlp_logit
 from hiprfish_tpu.ops import watershed as ws
@@ -51,9 +51,17 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     of per-laser (H, W, C_l) arrays."""
     projections = [jnp.sum(img, axis=2) for img in stack]
     ref0 = projections[0]
+    c = cfg.register_crop
+    h, w = ref0.shape
+    if c and h > c and w > c:
+        r0, c0 = (h - c) // 2, (w - c) // 2
+        _crop = lambda im: jax.lax.slice(im, (r0, c0), (r0 + c, c0 + c))
+    else:
+        _crop = lambda im: im
+    cref = _crop(ref0)
     parts = [stack[0]]
     for i in range(1, len(stack)):
-        s = reg.register_translation(ref0, projections[i])
+        s = reg.register_translation(cref, _crop(projections[i]))
         shifted, _ = reg.apply_shift_2d(stack[i], s)
         parts.append(shifted)
     registered = jnp.concatenate(parts, axis=2)
@@ -80,18 +88,22 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # compact CCL inputs.
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
     seeds_core = morph.binary_fill_holes(
-        lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 2))
+        segstats.remove_small_objects_fast(morph.binary_opening(fg),
+                                           cfg.lp_seed_min_size, 2))
     seed_mask = seeds_core & morph.binary_fill_holes(fg)
 
-    # Watershed only needs distinct marker ids, not sequential ones; the
-    # final filter_and_relabel produces the 1..n labels (saves a full
-    # scatter+cumsum+gather relabel pass here).
-    markers = lab.label(seed_mask, 2, cfg.ccl_max_iters) * bkg.astype(jnp.int32)
+    # Rank the markers to sequential 1..n BEFORE flooding (gather-free
+    # presence trick, ops/segstats.py): the watershed then propagates
+    # band-local sequential ids directly, which is what makes the one-pass
+    # windowed-matmul stats/remap in fov_step possible.
+    markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters)
+    markers_seq, _ = segstats.rank_labels(markers0, 2, cfg.ccl_max_iters)
+    pre_segments = 2 * max_cells
+    markers = jnp.minimum(markers_seq, pre_segments - 1) \
+        * bkg.astype(jnp.int32)
     seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
                        cfg.watershed_max_iters)
-    seg, n_cells = lab.filter_and_relabel(seg, cfg.lp_cell_min_size)
-    seg = jnp.minimum(seg, max_cells - 1)  # static per-cell bound
-    return seg, n_cells, registered
+    return seg, registered
 
 
 def classify_device(avgint_norm, check_params, check_blocks, scaler_mean,
@@ -137,10 +149,25 @@ def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
     """
     (n_classes, blocks, check_slice, n_channels, k, temperature,
      check_blocks) = clf_static
-    seg, n_cells, registered = segment_lpcv_device(
+    seg0, registered = segment_lpcv_device(
         stack, clf_arrays.get("calibration"), cfg, max_cells, denoise,
         pallas_ok)
-    avgint = rp.mean_intensities(seg, registered, max_cells)
+    # One windowed-matmul pass gives every region's pixel count, border
+    # contact and full spectral sum (replaces filter_and_relabel +
+    # segment_sum measurement — the two dominant scatter/gather stages,
+    # ~156 ms -> ~25 ms at 2000^2; ops/segstats.py).
+    pre_segments = 2 * max_cells
+    stats = segstats.label_stats(seg0, registered, pre_segments, width=1024)
+    keep = (stats.counts >= cfg.lp_cell_min_size) & (stats.border_hits == 0)
+    keep = keep.at[0].set(False)
+    final = jnp.cumsum(keep.astype(jnp.int32))
+    n_cells = final[-1]
+    remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
+    seg = segstats.label_lookup(seg0, remap, width=1024).astype(jnp.int32)
+    means = stats.sums / jnp.maximum(stats.counts, 1.0)[:, None]
+    avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
+        .at[remap].set(means)
+    avgint = avgint.at[0].set(0.0)
     avgint_norm = avgint / jnp.maximum(
         jnp.max(avgint, axis=1, keepdims=True), 1e-12)
     code_idx, max_prob = classify_device(

@@ -18,8 +18,8 @@ from hiprfish_tpu.config import SegmentationConfig
 from hiprfish_tpu.ops import kmeans as km
 from hiprfish_tpu.ops import labeling as lab
 from hiprfish_tpu.ops import morphology as morph
-from hiprfish_tpu.ops import regionprops as rp
 from hiprfish_tpu.ops import register as reg
+from hiprfish_tpu.ops import segstats
 from hiprfish_tpu.ops import watershed as ws
 from hiprfish_tpu.pipeline.segment2d import _erode_labels_twice
 
@@ -27,8 +27,14 @@ from hiprfish_tpu.pipeline.segment2d import _erode_labels_twice
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
                          max_cells: int = 4096):
-    """(seg, n_cells, registered) for a tuple of per-laser (H, W, C_l)
-    planes — pure device program."""
+    """(seg, n_cells, registered, avgint) for a tuple of per-laser (H, W, C_l)
+    planes — pure device program.
+
+    All per-label reductions (erosion-depth histogram, size/border filters,
+    shape props, spectral measurement) run as windowed one-hot matmuls over
+    sequential band-local ids (ops/segstats.py) — zero full-image
+    gathers/scatters, the dominant cost of the previous formulation.
+    """
     projections = [jnp.max(img, axis=2) for img in stack]
     ref0 = projections[0]
     parts = [stack[0]]
@@ -46,59 +52,82 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
 
     fg = km.brightest_cluster_mask(image_cn, 2, cfg.kmeans_iters)
     interior = km.brightest_cluster_mask(image_cn, 3, cfg.kmeans_iters)
-    interior = morph.remove_small_holes(interior, 64)
+    interior = segstats.remove_small_holes_fast(interior, 64)
     interior = morph.binary_opening(interior)
-    cell_sm = lab.remove_small_objects(interior, 50)
+    cell_sm = segstats.remove_small_objects_fast(interior, 50, 2)
 
     # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
     # survives k erosions iff depth(p) > k, so the per-iteration "component
     # area after k erosions" is a (component, depth) histogram — ONE labeling
-    # + one scatter instead of a CCL per erosion round. A component becomes a
-    # seed at the first k where its surviving area drops below seed_area_max,
-    # and its seed pixels are {depth > k}. Equivalent to the reference's loop
-    # (spectral_image_measurement.py:101-110) except when erosion splits a
-    # component (rare for convex cells; the host-orchestrated
-    # segment2d.segment_ecoli keeps the exact per-iteration semantics).
+    # + one windowed-matmul histogram instead of a CCL per erosion round. A
+    # component becomes a seed at the first k where its surviving area drops
+    # below seed_area_max, and its seed pixels are {depth > k}. Equivalent to
+    # the reference's loop (spectral_image_measurement.py:101-110) except
+    # when erosion splits a component (rare for convex cells; the
+    # host-orchestrated segment2d.segment_ecoli keeps the exact
+    # per-iteration semantics).
     kmax = cfg.max_erosion_iters
     depth = cell_sm.astype(jnp.int32)
     m = cell_sm
     for _ in range(kmax - 1):
         m = morph.binary_erosion(m) & cell_sm
         depth = depth + m
-    comp, n_comp = lab.filter_and_relabel(
-        lab.label(cell_sm, 2, cfg.ccl_max_iters), 1, drop_border=False)
+    comp, _ = segstats.rank_labels(
+        lab.label(cell_sm, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
     comp = jnp.minimum(comp, max_cells - 1)
-    flat_comp = comp.reshape(-1)
-    flat_depth = jnp.clip(depth.reshape(-1), 0, kmax)
-    hist = jnp.zeros((max_cells, kmax + 1), jnp.int32).at[
-        flat_comp, flat_depth].add(1)
+    depth_c = jnp.clip(depth, 0, kmax)
+    dstats = segstats.label_stats(comp, None, max_cells, aux=depth_c,
+                                  aux_classes=kmax + 1)
+    hist = dstats.aux_hist                                     # (C, kmax+1)
     # area_k[c, k] = component c's area after k erosions = #pixels depth > k.
     area_k = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1][:, 1:]  # (C, kmax)
     small = area_k < cfg.seed_area_max
     k_seed = jnp.argmax(small, axis=1).astype(jnp.int32)       # first such k
     seed_area = jnp.take_along_axis(area_k, k_seed[:, None], axis=1)[:, 0]
     valid_seed = (seed_area >= cfg.seed_min_size) & (jnp.arange(max_cells) > 0)
-    k_pix = k_seed[flat_comp].reshape(comp.shape)
-    seed_mask = (depth > k_pix) & valid_seed[comp] & cell_sm
-    markers = lab.label(seed_mask, 2, cfg.ccl_max_iters)
+    # Single windowed broadcast: invalid/background slots get a sentinel
+    # depth bound no pixel exceeds.
+    ktbl = jnp.where(valid_seed, k_seed, kmax + 1).astype(jnp.float32)
+    k_pix = segstats.label_lookup(comp, ktbl)
+    seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp > 0) & cell_sm
+    markers, _ = segstats.rank_labels(
+        lab.label(seed_mask, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
+    pre_segments = 2 * max_cells
+    markers = jnp.minimum(markers, pre_segments - 1)
 
-    seg = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
-    seg, _ = lab.filter_and_relabel(seg, cfg.cell_min_size)
-    seg = jnp.minimum(seg, max_cells - 1)
+    seg_ws = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
 
-    props = rp.shape_props_2d(seg, max_cells)
-    minor = props["minor_axis_length"]
-    keep = (
-        (minor >= cfg.minor_axis_min)
-        & (minor <= cfg.minor_axis_max)
-        & (props["area"] > 0)
-    )
+    # Size/border filter + shape gate + post-erosion measurement, all from
+    # two stats passes over band-local ids.
+    s1 = segstats.label_stats(seg_ws, None, pre_segments, moments=True)
+    keep = (s1.counts >= cfg.cell_min_size) & (s1.border_hits == 0)
+    n = jnp.maximum(s1.counts, 1.0)
+    rbar = s1.moments[:, 0] / n
+    cbar = s1.moments[:, 1] / n
+    mu20 = s1.moments[:, 2] / n - rbar * rbar + 1.0 / 12.0
+    mu02 = s1.moments[:, 3] / n - cbar * cbar + 1.0 / 12.0
+    mu11 = s1.moments[:, 4] / n - rbar * cbar
+    common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11 * mu11, 0.0))
+    lam2 = jnp.clip((mu20 + mu02 - common) / 2.0, 0.0, None)
+    minor = 4.0 * jnp.sqrt(lam2)
+    keep = keep & (minor >= cfg.minor_axis_min) & (minor <= cfg.minor_axis_max)
+    keep = keep & (s1.counts > 0)
     keep = keep.at[0].set(False)
-    eroded = _erode_labels_twice(seg)
-    kept = jnp.where(keep[jnp.clip(eroded, 0, max_cells - 1)], eroded, 0)
-    seg_final, n_cells = lab.relabel_sequential(kept)
-    seg_final = jnp.minimum(seg_final, max_cells - 1)
-    return seg_final, n_cells, registered
+
+    eroded = _erode_labels_twice(seg_ws)
+    s2 = segstats.label_stats(eroded, registered, pre_segments)
+    keep = keep & (s2.counts > 0)   # cells fully erased by the double
+    #                                 erosion vanish, exactly as the
+    #                                 reference's relabel of the eroded image
+    final = jnp.cumsum(keep.astype(jnp.int32))
+    n_cells = final[-1]
+    remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
+    seg_final = segstats.label_lookup(eroded, remap).astype(jnp.int32)
+    means = s2.sums / jnp.maximum(s2.counts, 1.0)[:, None]
+    avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
+        .at[remap].set(means)
+    avgint = avgint.at[0].set(0.0)
+    return seg_final, n_cells, registered, avgint
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -112,8 +141,8 @@ def fov_step_ecoli(stack, clf_arrays, cfg: SegmentationConfig,
 
     (n_classes, blocks, check_slice, n_channels, k, temperature,
      check_blocks) = clf_static
-    seg, n_cells, registered = segment_ecoli_device(stack, cfg, max_cells)
-    avgint = rp.mean_intensities(seg, registered, max_cells)
+    seg, n_cells, registered, avgint = segment_ecoli_device(
+        stack, cfg, max_cells)
     avgint_norm = avgint / jnp.maximum(
         jnp.max(avgint, axis=1, keepdims=True), 1e-12)
     # Violet-derivative feature block (image_classification.py:47-48).

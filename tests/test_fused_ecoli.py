@@ -20,7 +20,8 @@ def test_fused_ecoli_matches_host_engine():
         cell_axes=(9.0, 14.0))
     stack = tuple(jnp.asarray(a) for a in fov["stack"])
     cfg = SegmentationConfig()
-    seg_f, n_f, reg_f = fused_ecoli.segment_ecoli_device(stack, cfg, 256)
+    seg_f, n_f, reg_f, avg_f = fused_ecoli.segment_ecoli_device(stack, cfg,
+                                                                256)
     res_h = segment2d.segment_ecoli(fov["stack"], cfg, 256)
     assert int(n_f) == int(res_h.n_cells) == len(CODES)
     # Same cells: every fused cell overlaps exactly one host cell with IoU>0.8
