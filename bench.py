@@ -232,6 +232,14 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
+    # Free this config's device residents (the 1 GB 63-ch stack and pipeline
+    # outputs) before the 95-channel configs — their peak HBM plus these
+    # leftovers exceeds the chip (measured RESOURCE_EXHAUSTED otherwise).
+    del stack, out, step, clf_arrays
+    import gc
+
+    gc.collect()
+
     if os.environ.get("BENCH_10B", "1") != "0":
         try:
             extra["ecoli_10bit"] = bench_ecoli_10bit()

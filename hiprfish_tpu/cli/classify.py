@@ -23,8 +23,16 @@ def main(argv=None):
     parser.add_argument("-rf", "--reference_clf", dest="ref_clf", type=str,
                         default="", help="Spectra classifier path")
     args = parser.parse_args(argv)
-    clf = load_classifier(resolve_classifier_path(args.ref_clf))
     print(f"Classifying sample {args.input_spectra}...")
+    import os
+
+    if args.ref_clf.endswith("transform.pkl") and os.path.exists(
+            args.ref_clf):
+        # the reference's own 3-pickle UMAP artifact stack
+        # (image_classification.py:44-46), scored on device
+        classify.classify_ecoli_legacy(args.input_spectra, args.ref_clf)
+        return
+    clf = load_classifier(resolve_classifier_path(args.ref_clf))
     classify.classify_ecoli(args.input_spectra, clf)
 
 

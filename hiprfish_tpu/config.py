@@ -98,6 +98,16 @@ def convert_code_to_7b(code: str) -> str:
     return "".join(code[i] for i in SEVEN_BIT_SUBSET)
 
 
+def convert_code_to_10b(code: str) -> str:
+    """Embed a 7-bit barcode string into the 10-bit space (zeros on the
+    unused bits — inverse of convert_code_to_7b; train_reference.py uses
+    this to match taxon tables against 10-bit reference encodings)."""
+    out = ["0"] * 10
+    for bit, i in zip(code, SEVEN_BIT_SUBSET):
+        out[i] = bit
+    return "".join(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class SegmentationConfig:
     """Parameters of the segmentation engines (L2).

@@ -43,6 +43,7 @@ def save_classifier(path: str, clf: SpectralClassifier) -> None:
         "n_neighbors": clf.n_neighbors,
         "temperature": clf.temperature,
         "violet_derivative": clf.violet_derivative,
+        "full_derivative": clf.full_derivative,
         "n_check_heads": len(clf.check_params),
     }
     arrays["meta_json"] = np.frombuffer(
@@ -74,6 +75,7 @@ def load_classifier(path: str) -> SpectralClassifier:
         n_neighbors=meta["n_neighbors"],
         temperature=meta["temperature"],
         violet_derivative=meta["violet_derivative"],
+        full_derivative=meta.get("full_derivative", False),
     )
 
 

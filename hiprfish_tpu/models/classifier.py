@@ -118,6 +118,7 @@ class SpectralClassifier:
     n_neighbors: int = 25
     temperature: float = 30.0
     violet_derivative: bool = False
+    full_derivative: bool = False   # np.diff over ALL channels appended
 
     # -- check bits --------------------------------------------------------
 
@@ -153,6 +154,10 @@ class SpectralClassifier:
         if self.violet_derivative:
             lo, hi = self.blocks[0]
             feats.append(jnp.diff(x[:, lo:hi], axis=1))
+        elif self.full_derivative:
+            # "differentiated" variants: derivative across the whole spectrum
+            # (train_reference.py:126-147, :2117-2146)
+            feats.append(jnp.diff(x, axis=1))
         base = jnp.concatenate(feats, axis=1)
         checks = self.predict_checks(base)
         return jnp.concatenate([base, checks], axis=1)
@@ -218,6 +223,7 @@ def train_classifier(
     cfg: ClassifierConfig = ClassifierConfig(),
     scaler: bool = False,
     violet_derivative: bool = False,
+    full_derivative: bool = False,
     check_spectra: np.ndarray | None = None,   # incl. negatives (defaults to spectra)
     check_bits_full: np.ndarray | None = None,
     knn_store_per_class: int | None = None,
@@ -236,6 +242,11 @@ def train_classifier(
 
     blocks, check_slice = metrics.metric_for_layout(layout, violet_derivative)
     n_channels = layout.n_channels
+    if full_derivative:
+        # the appended full-spectrum derivative is one extra ungated block
+        blocks = tuple(blocks) + ((n_channels, 2 * n_channels - 1),)
+        check_slice = (2 * n_channels - 1, 2 * n_channels - 1
+                       + (check_slice[1] - check_slice[0]))
 
     scaler_mean = scaler_scale = None
     scaled = check_spectra[:, :n_channels]
@@ -279,7 +290,9 @@ def train_classifier(
     code_to_idx = {c: i for i, c in enumerate(codebook)}
     labels = np.array([code_to_idx[c] for c in code_strings], np.int32)
 
-    feats = np.concatenate([spectra, check_bits], axis=1).astype(np.float32)
+    n_check_cols = check_slice[1] - check_slice[0]
+    feats = np.concatenate([spectra, check_bits[:, :n_check_cols]],
+                           axis=1).astype(np.float32)
     if knn_store_per_class is not None:
         keep = []
         for ci in range(len(codebook)):
@@ -304,4 +317,5 @@ def train_classifier(
         n_neighbors=cfg.n_neighbors,
         temperature=cfg.knn_temperature,
         violet_derivative=violet_derivative,
+        full_derivative=full_derivative,
     )

@@ -133,5 +133,9 @@ def metric_for_layout(layout, violet_derivative: bool = False):
         d = first[1] - first[0] - 1  # np.diff width of the first block
         blocks = blocks + [(c, c + d)]
         c = c + d
-    n_checks = len(layout.check_bit_groups)
+    # One check column per metric block: without the violet-derivative block
+    # the 10-bit layout has 5 blocks and uses 5 checks (c1..c5,
+    # train_reference.py:1408-1412); the 6th check bit exists only for the
+    # derivative block (image_classification.py:54).
+    n_checks = min(len(layout.check_bit_groups), len(blocks))
     return tuple(blocks), (c, c + n_checks)

@@ -68,6 +68,39 @@ def classify_ecoli(avgint_filename: str, clf: SpectralClassifier,
     return codes
 
 
+def classify_ecoli_legacy(avgint_filename: str, transform_path: str,
+                          save_png: bool = True):
+    """Classify one FOV with the reference's own 3-pickle UMAP artifact
+    stack, loaded without umap-learn and scored on device
+    (image_classification.py:38-72 column-for-column: 95 channels + 31
+    violet-derivative + 6 check-SVC bits -> UMAP embed -> embedded SVC)."""
+    from hiprfish_tpu.models import umap_infer
+
+    sample = avgint_filename[: -len("_avgint.csv")]
+    avgint = pd.read_csv(avgint_filename, header=None).values
+    segmentation = np.load(sample + "_seg.npy")
+    avgint_norm = avgint / np.maximum(avgint.max(axis=1, keepdims=True),
+                                      1e-12)
+    n = avgint_norm.shape[0]
+    feats = np.concatenate(
+        [avgint_norm, np.zeros((n, 37), np.float32)], axis=1)
+    feats[:, 95:126] = np.diff(feats[:, 0:32], axis=1)
+
+    stack = umap_infer.load_legacy_umap_stack(transform_path)
+    codes = np.asarray(stack.predict(feats)).astype(str)
+
+    outputs.save_cell_ids(sample + "_cell_ids.txt", codes)
+    ident = pd.DataFrame(
+        np.concatenate([feats, codes[:, None]], axis=1))
+    ident[ident.shape[1]] = sample
+    ident[ident.shape[1]] = np.arange(1, n + 1)
+    ident.to_csv(sample + "_avgint_ids.csv", header=None, index=None)
+    if save_png:
+        image_identification = paint_identification(segmentation, codes, n)
+        outputs.save_identification_png(image_identification, sample)
+    return codes
+
+
 def classify_spectra_7b(input_spectra: str, clf: SpectralClassifier,
                         save_png: bool = False):
     """Classify one FOV's 7-bit spectra and write the cell_information table
