@@ -25,7 +25,7 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
     over 'fov'. Returns a function (stack_tuple, clf_arrays) -> FovResult
     with leading batch dims. B must be a multiple of the mesh's 'fov' size;
     each device sweeps its local FOVs sequentially at single-FOV speed."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(stack, clf_arrays):
         def step(st):
@@ -37,7 +37,7 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
         local, mesh=mesh,
         in_specs=(P("fov"), P()),
         out_specs=P("fov"),
-        check_rep=False,
+        check_vma=False,
     ))
 
     def call(stack, clf_arrays):
@@ -79,6 +79,31 @@ def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
     clf_arrays, clf_static = fused.classifier_to_device_args(clf)
     run = batched_fov_step(mesh, cfg, max_cells, clf_static, denoise)
 
+    def run_with_oom_backoff(batched):
+        """Device OOM recovery (utils/oom.py): split the batch into
+        mesh-aligned halves and run them sequentially — same per-device
+        program at half the live batch footprint."""
+        from hiprfish_tpu.utils import oom as oomlib
+
+        try:
+            out = run(batched, clf_arrays)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), out)
+            return [out]
+        except Exception as e:  # noqa: BLE001 - filtered below
+            b = batched[0].shape[0]
+            fov_dim = mesh.shape["fov"]
+            if not oomlib.is_oom_error(e) or b // 2 < fov_dim or b % 2:
+                raise
+            oomlib.log.warning(
+                "device OOM at batch=%d, retrying as 2 x %d", b, b // 2)
+            halves = []
+            for half in range(2):
+                sl = slice(half * (b // 2), (half + 1) * (b // 2))
+                halves.extend(run_with_oom_backoff(
+                    tuple(a[sl] for a in batched)))
+            return halves
+
     results = {}
     pending = []
 
@@ -93,14 +118,17 @@ def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
             jnp.stack([s[li] for s in stacks])
             for li in range(len(stacks[0]))
         )
-        out = run(batched, clf_arrays)
+        outs = run_with_oom_backoff(batched)
+        sub = outs[0].n_cells.shape[0]
         for bi, name in enumerate(names):
-            n = int(out.n_cells[bi])
-            seg = np.asarray(out.segmentation[bi])
-            avgint = np.asarray(out.avgint[bi])[1:n + 1]
-            norm = np.asarray(out.avgint_norm[bi])[1:n + 1]
+            out = outs[bi // sub]
+            oi = bi % sub
+            n = int(out.n_cells[oi])
+            seg = np.asarray(out.segmentation[oi])
+            avgint = np.asarray(out.avgint[oi])[1:n + 1]
+            norm = np.asarray(out.avgint_norm[oi])[1:n + 1]
             codes = [clf.codebook[int(c)]
-                     for c in np.asarray(out.code_idx[bi])[1:n + 1]]
+                     for c in np.asarray(out.code_idx[oi])[1:n + 1]]
             prefix = os.path.join(out_dir, name)
             outputs.save_avgint_csv(prefix + "_avgint.csv", avgint)
             outputs.save_avgint_norm_csv_with_header(
@@ -123,7 +151,7 @@ def train_check_heads_dp(mesh, x, y, init_params, steps: int, lr: float):
     gradients psum-reduced across the mesh — the framework's 'full training
     step' under real data parallelism."""
     import optax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from hiprfish_tpu.models.classifier import _mlp_logit
 
     tx = optax.adam(lr)
@@ -143,7 +171,6 @@ def train_check_heads_dp(mesh, x, y, init_params, steps: int, lr: float):
         local_step, mesh=mesh,
         in_specs=(P(), P(), P("fov"), P("fov")),
         out_specs=(P(), P()),
-        check_rep=False,
     )
 
     @jax.jit

@@ -249,7 +249,18 @@ def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     enhanced)."""
     vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
 
-    enhanced = lp_cv_enhance_3d_chunked(vol_norm, cfg, chunk_xy)
+    # Chunk-size backoff: if the per-chunk (72, cx, cy, Z) scratch overflows
+    # HBM, retry the sweep at half the chunk edge (utils/oom.py — the
+    # recovery analogue of the reference's always-small numpy tile loop).
+    from hiprfish_tpu.utils import oom
+
+    def _enhance(cx):
+        out = lp_cv_enhance_3d_chunked(vol_norm, cfg, cx)
+        jax.block_until_ready(out)   # surface dispatch-time OOM here
+        return out
+
+    enhanced, _ = oom.run_with_backoff(
+        _enhance, oom.halving_ladder(chunk_xy, 32), label="chunk_xy")
 
     pos = enhanced > 0
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & pos
