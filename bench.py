@@ -232,30 +232,6 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
-    # Free this config's device residents (the 1 GB 63-ch stack and pipeline
-    # outputs) before the 95-channel configs — their peak HBM plus these
-    # leftovers exceeds the chip (measured RESOURCE_EXHAUSTED otherwise).
-    del stack, out, step, clf_arrays
-    import gc
-
-    gc.collect()
-
-    if os.environ.get("BENCH_10B", "1") != "0":
-        try:
-            extra["ecoli_10bit"] = bench_ecoli_10bit()
-        except Exception as e:  # keep the headline metric robust
-            extra["ecoli_10bit"] = {"error": repr(e)[:200]}
-
-    if os.environ.get("BENCH_3D", "1") != "0":
-        try:
-            sys.path.insert(0, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "tools"))
-            import bench3d
-
-            extra["volume_3d"] = bench3d.run()
-        except Exception as e:
-            extra["volume_3d"] = {"error": repr(e)[:200]}
-
     print(json.dumps({
         "metric": "segment+classify throughput (2000x2000 4-laser FOV, "
                   "63ch, 127-code kNN)",
@@ -266,5 +242,56 @@ def main():
     }))
 
 
+def _run_config_subprocess(config: str, timeout_s: int = 1500):
+    """One bench config in a fresh process. Each config's working set is a
+    multi-GB fraction of HBM; residual arrays + executables from a previous
+    config in the same process tip the 95-channel / 3D configs into
+    RESOURCE_EXHAUSTED (measured), and only one process can hold the TPU at
+    a time — so the orchestrator never touches jax and the configs run
+    strictly sequentially, each with the whole chip."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_CONFIG=config)
+    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       capture_output=True, text=True, env=env,
+                       timeout=timeout_s)
+    sys.stderr.write(p.stderr)
+    for line in reversed(p.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": f"no JSON from {config}: "
+                     f"{(p.stdout or p.stderr)[-200:]}"}
+
+
+def orchestrate():
+    headline = _run_config_subprocess("headline")
+    if "extra" not in headline:
+        print(json.dumps(headline))
+        return
+    if os.environ.get("BENCH_10B", "1") != "0":
+        headline["extra"]["ecoli_10bit"] = _run_config_subprocess("10b")
+    if os.environ.get("BENCH_3D", "1") != "0":
+        headline["extra"]["volume_3d"] = _run_config_subprocess("3d")
+    print(json.dumps(headline))
+
+
 if __name__ == "__main__":
-    main()
+    config = os.environ.get("BENCH_CONFIG")
+    if config is None:
+        orchestrate()
+    elif config == "headline":
+        main()
+    elif config == "10b":
+        try:
+            print(json.dumps(bench_ecoli_10bit()))
+        except Exception as e:
+            print(json.dumps({"error": repr(e)[:200]}))
+    elif config == "3d":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench3d
+
+            print(json.dumps(bench3d.run()))
+        except Exception as e:
+            print(json.dumps({"error": repr(e)[:200]}))

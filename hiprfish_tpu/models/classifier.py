@@ -196,8 +196,10 @@ def _knn_predict(
     temperature: float,
 ):
     d = metrics.block_cosine_distance_matrix(q, train, blocks, check_slice)
-    # TPU-native approximate k-NN selection (recall ~0.99 vs exact sort).
-    neg_d, idx = jax.lax.approx_max_k(-d, k, recall_target=0.99)
+    # TPU-native approximate k-NN selection (recall vs exact sort; 0.999
+    # keeps the true nearest neighbor with high probability, which matters
+    # now that high-temperature voting behaves like 1-NN).
+    neg_d, idx = jax.lax.approx_max_k(-d, k, recall_target=0.999)
     nb_labels = labels[idx]                            # (N, k)
     w = jax.nn.softmax(neg_d * temperature, axis=1)    # exp(-d*T) normalized
     n = q.shape[0]
