@@ -18,7 +18,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.int32(2**30)
+# Python int, not a jnp array — see ops/segstats.py:_INF for why.
+_INF = 2**30
 
 
 def _neighbor_shifts(ndim: int, connectivity: int):

@@ -43,7 +43,11 @@ import jax.numpy as jnp
 
 from hiprfish_tpu.ops.labeling import _neighbor_shifts, shifted
 
-_INF = jnp.int32(2**30)
+# Python int, NOT a jnp array: a module-level device-array constant
+# closed over by jitted code can be promoted to a hidden executable
+# parameter at compile time, which the cached-call fastpath then fails
+# to supply (measured: 'supplied 22 buffers but expected 23').
+_INF = 2**30
 
 
 def _run_max_scan(values: jax.Array, mask: jax.Array, axis: int,
@@ -429,11 +433,18 @@ def remove_small_holes_fast(mask: jax.Array, area_threshold: int = 64,
 def remove_small_objects_fast(mask: jax.Array, min_size: int,
                               connectivity: int = 2,
                               num_segments: int = 32768,
-                              max_iters: int = 512) -> jax.Array:
+                              max_iters: int = 512,
+                              exact_fallback: bool = True) -> jax.Array:
     """remove_small_objects without the 4M-table scatter/gather: label ->
     rank -> windowed counts -> windowed keep lookup. Exact fallbacks kick in
     on window spill; id overflow beyond num_segments falls back to the
-    classic path."""
+    classic path.
+
+    ``exact_fallback=False`` replaces the overflow branch with a no-filter
+    pass-through: XLA sizes a cond's temp arena for its WORST branch, and
+    the classic path's mask.size-entry table is gigabytes on full 3D
+    volumes — callers that bound their component count (e.g. the 3D seeder,
+    whose markers are capped at max_cells) opt out of paying for it."""
     from hiprfish_tpu.ops import labeling as lab
 
     lbl = lab.label(mask, connectivity, max_iters)
@@ -447,6 +458,8 @@ def remove_small_objects_fast(mask: jax.Array, min_size: int,
         return mask & keep
 
     def slow(seq):
+        if not exact_fallback:
+            return mask
         size = mask.size
         flat = jnp.clip(lbl.reshape(-1), 0, size)
         counts = jnp.zeros((size + 1,), jnp.int32).at[flat].add(1)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from hiprfish_tpu.ops.labeling import _neighbor_shifts, shifted
 
-_BIG = jnp.float32(3.4e38)
+# Python float, not a jnp array — see ops/segstats.py:_INF for why.
+_BIG = 3.4e38
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

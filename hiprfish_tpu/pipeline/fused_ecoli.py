@@ -37,10 +37,20 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     """
     projections = [jnp.max(img, axis=2) for img in stack]
     ref0 = projections[0]
+    # FFT registration on a centered power-of-two crop (config.register_crop,
+    # same integer shift for rigid stage drift, ~3x cheaper FFTs at 2000^2).
+    c = cfg.register_crop
+    h, w = ref0.shape
+    if c and h > c and w > c:
+        r0, c0 = (h - c) // 2, (w - c) // 2
+        _crop = lambda im: jax.lax.slice(im, (r0, c0), (r0 + c, c0 + c))
+    else:
+        _crop = lambda im: im
+    cref = _crop(ref0)
     parts = [stack[0]]
     overlap = jnp.ones(ref0.shape, bool)
     for i in range(1, len(stack)):
-        s = reg.register_translation(ref0, projections[i])
+        s = reg.register_translation(cref, _crop(projections[i]))
         if cfg.clamp_shift:
             s = reg.clamp_shift(s, cfg.max_shift)
         shifted, mask = reg.apply_shift_2d(stack[i], s)

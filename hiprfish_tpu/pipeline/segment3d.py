@@ -15,6 +15,8 @@ the TPU-native equivalent of the reference's 100x100 chunk loop.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -240,14 +242,61 @@ def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _segment_post_enhance(enhanced, bkg, statics):
+    """Everything after the LP-CV sweep as ONE compiled program. At the
+    reference's 2020x2020x170 scale every full-volume buffer is 2.8 GB
+    (f32/int32), so staging these ops as separate dispatches (each pinning
+    its inputs and outputs as persistent buffers) overflowed the 16 GB chip;
+    a single program lets XLA's liveness analysis reuse dead buffers.
+    (No donate_argnums here: buffer donation in this program corrupted the
+    executable cache for LATER unrelated computations — "supplied N buffers
+    but expected N+1" — reproducibly on both backends.) At the reference's
+    full volume even this is not enough — use segment_3d_tiled there; this
+    whole-volume program is for sub-gigavoxel inputs where exact global
+    propagation is free. Labeling avoids the classic
+    690M-entry scatter/gather tables entirely: marker ids are ranked to
+    sequential 1..n with the gather-free presence trick (ops/segstats.py)
+    BEFORE flooding, and since watershed regions retain their seed pixels
+    the output needs no final relabel pass at all."""
+    from hiprfish_tpu.ops import segstats
+
+    (kmeans_iters, seed_min, ccl_iters, ws_iters, max_cells) = statics
+    pos = enhanced > 0
+    fg = km.brightest_cluster_mask(enhanced, 2, kmeans_iters) & pos
+    interior = km.brightest_cluster_mask(enhanced, 3, kmeans_iters) & pos
+    interior = morph.binary_opening(interior)
+    interior = segstats.remove_small_objects_fast(
+        interior, seed_min, 3, max_iters=ccl_iters, exact_fallback=False)
+    seeds_mask = morph.binary_fill_holes(interior, 1) \
+        & morph.binary_fill_holes(fg, 1)
+
+    markers, n_cells = segstats.rank_labels(
+        lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
+    markers = jnp.minimum(markers, max_cells - 1)
+    seg = ws.watershed(-(enhanced.astype(jnp.float32) * bkg), markers,
+                       seeds_mask | (fg & bkg), 1, ws_iters)
+    return seg, jnp.minimum(n_cells, max_cells - 1)
+
+
 def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
                         max_cells: int = 16384, chunk_xy: int = 128):
     """3D LP-CV segmentation of an already channel-summed volume — the
     input produced by the stitched tile path
     (generate_3d_segmentation_tile_memory_efficient,
     biofilm_analysis.py:1102-1171). Returns (segmentation, n_cells,
-    enhanced)."""
+    enhanced).
+
+    Pass ``vol_sum`` as a single-element list to transfer ownership: the
+    function pops it so the 2.8 GB input can be freed as soon as the
+    background mask and enhancement no longer need it (callers keeping
+    their own reference forfeit that saving)."""
+    if isinstance(vol_sum, list):
+        vol_sum = vol_sum.pop()
     vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
+    del vol_sum
+    bkg = km.brightest_cluster_mask(jnp.log10(vol_norm + 1e-8), 2,
+                                    cfg.kmeans_iters)
 
     # Chunk-size backoff: if the per-chunk (72, cx, cy, Z) scratch overflows
     # HBM, retry the sweep at half the chunk edge (utils/oom.py — the
@@ -261,23 +310,191 @@ def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
 
     enhanced, _ = oom.run_with_backoff(
         _enhance, oom.halving_ladder(chunk_xy, 32), label="chunk_xy")
+    del vol_norm
 
-    pos = enhanced > 0
-    fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & pos
-    interior = km.brightest_cluster_mask(enhanced, 3, cfg.kmeans_iters) & pos
-    interior = morph.binary_opening(interior)
-    interior = lab.remove_small_objects(interior, cfg.lp_seed_min_size, 3)
-    seeds_mask = morph.binary_fill_holes(interior, 1) & morph.binary_fill_holes(fg, 1)
-
-    bkg = km.brightest_cluster_mask(jnp.log10(vol_norm + 1e-8), 2,
-                                    cfg.kmeans_iters)
-    markers, _ = lab.relabel_sequential(
-        lab.label(seeds_mask & bkg, 3, cfg.ccl_max_iters))
-    seg = ws.watershed(-(enhanced * bkg), markers, seeds_mask | (fg & bkg), 1,
-                       cfg.watershed_max_iters)
-    seg, n_cells = lab.relabel_sequential(seg)
-    seg = jnp.minimum(seg, max_cells - 1)
+    statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
+               cfg.watershed_max_iters, max_cells)
+    seg, n_cells = _segment_post_enhance(enhanced, bkg, statics)
     return seg, n_cells, enhanced
+
+
+def _cluster_threshold(values, k: int, iters: int):
+    """Global KMeans decision boundary between the two brightest clusters:
+    assignment to the brightest cluster is exactly ``value >= midpoint`` for
+    1-D nearest-center clustering, so tiles reproduce the full-volume
+    brightest_cluster_mask from this one scalar."""
+    _, centers = km.kmeans1d(values, k, iters)
+    return (centers[-1] + centers[-2]) / 2.0
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _tiled_segment_pass(enhanced_p, bkg_p, thresholds, statics, shapes):
+    """lax.map sweep of the margin-tiled 3D segmenter (see segment_3d_tiled).
+
+    Per tile: thresholded fg/interior masks -> opening -> small-object
+    filter -> fill-holes seeds -> tile-local CCL + rank -> watershed ->
+    crop the margin. Emits (tiles, tile_x, Y, Z) labels with tile-local
+    sequential ids, per-tile cell counts, and each tile's PRIVATE labels on
+    its right-boundary plane pair (the host merge's sameness evidence)."""
+    from hiprfish_tpu.ops import segstats
+
+    (thr_fg, thr_int) = thresholds
+    (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
+     theta_range, phi_range) = statics
+    (tile_x, margin, n_tiles) = shapes
+    slab_x = tile_x + 2 * margin
+
+    def one_tile(t):
+        start = t * tile_x
+        enh = jax.lax.dynamic_slice(
+            enhanced_p, (start, 0, 0),
+            (slab_x, enhanced_p.shape[1], enhanced_p.shape[2]))
+        bkg = jax.lax.dynamic_slice(
+            bkg_p, (start, 0, 0),
+            (slab_x, bkg_p.shape[1], bkg_p.shape[2]))
+        pos = enh > 0
+        fg = (enh >= thr_fg) & pos
+        interior = (enh >= thr_int) & pos
+        interior = morph.binary_opening(interior)
+        interior = segstats.remove_small_objects_fast(
+            interior, seed_min, 3, num_segments=tile_cap,
+            max_iters=ccl_iters, exact_fallback=False)
+        seeds_mask = morph.binary_fill_holes(interior, 1) \
+            & morph.binary_fill_holes(fg, 1)
+        markers, n = segstats.rank_labels(
+            lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
+        markers = jnp.minimum(markers, tile_cap - 1)
+        seg = ws.watershed(-(enh * bkg), markers,
+                           seeds_mask | (fg & bkg), 1, ws_iters)
+        out = jax.lax.dynamic_slice(
+            seg, (margin, 0, 0),
+            (tile_x, seg.shape[1], seg.shape[2]))
+        # A tile also labels cells living only in its margin; those ids
+        # never reach the cropped output and must not become global cells —
+        # report which ids are actually present in the crop.
+        present = segstats.label_stats(out, None, tile_cap).counts > 0
+        # Private labels on the plane pair straddling this tile's right
+        # boundary (slab-local x = margin + tile_x - 1 and + tile_x).
+        planes = jax.lax.dynamic_slice(
+            seg, (margin + tile_x - 1, 0, 0),
+            (2, seg.shape[1], seg.shape[2]))
+        return out, present, planes
+
+    return jax.lax.map(one_tile, jnp.arange(n_tiles, dtype=jnp.int32))
+
+
+def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
+                     max_cells: int = 16384, tile_x: int = 128,
+                     margin: int = 64, tile_cap: int = 8192,
+                     chunk_xy: int = 128):
+    """Full-scale 3D segmentation as a margin-tiled sweep — the design that
+    actually fits the reference's 2020x2020x170 volume on one chip.
+
+    Whole-volume label propagation (CCL, watershed) holds 5-10 full-volume
+    temporaries inside its while-loop body; at 690M voxels that is a >50 GB
+    program (measured), hopeless on a 16 GB chip. Instead the volume is
+    tiled along x with a ``margin`` overlap wider than any cell: every tile
+    segments its slab independently inside one lax.map program (global
+    KMeans thresholds keep the masks identical to the full-volume path),
+    and each voxel's label comes from the tile that owns it. Cells
+    straddling a tile boundary are segmented twice; the two halves are
+    re-united by a host union-find over the boundary plane pair, where the
+    owning tile's private (uncropped) labeling witnesses that the two
+    global ids are one cell. The merged remap applies with the windowed
+    gather-free lookup (ops/segstats.py) — tile-local sequential ids are
+    band-local by construction. Exact for every structure smaller than
+    ``margin``; the same decomposition shard_maps across chips (the tile
+    axis is the mesh 'tile' axis of parallel/spatial.py).
+
+    Accepts a single-element list for ownership transfer like
+    segment_3d_from_sum. Returns (seg, n_cells, None).
+    """
+    from hiprfish_tpu.ops import segstats
+    from hiprfish_tpu.utils import oom
+
+    if isinstance(vol_sum, list):
+        vol_sum = vol_sum.pop()
+    x, y, z = vol_sum.shape
+    vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
+    del vol_sum
+    thr_bkg = _cluster_threshold(jnp.log10(vol_norm + 1e-8), 2,
+                                 cfg.kmeans_iters)
+    bkg = jnp.log10(vol_norm + 1e-8) >= thr_bkg
+
+    def _enhance(cx):
+        out = lp_cv_enhance_3d_chunked(vol_norm, cfg, cx)
+        jax.block_until_ready(out)
+        return out
+
+    enhanced, _ = oom.run_with_backoff(
+        _enhance, oom.halving_ladder(chunk_xy, 32), label="chunk_xy")
+    del vol_norm
+    enhanced = enhanced.astype(jnp.float32)
+
+    thr_fg = _cluster_threshold(enhanced, 2, cfg.kmeans_iters)
+    thr_int = _cluster_threshold(enhanced, 3, cfg.kmeans_iters)
+
+    n_tiles = -(-x // tile_x)
+    pad_r = n_tiles * tile_x - x + margin
+    enhanced_p = jnp.pad(enhanced, ((margin, pad_r), (0, 0), (0, 0)),
+                         mode="edge")
+    del enhanced
+    bkg_p = jnp.pad(bkg, ((margin, pad_r), (0, 0), (0, 0)), mode="edge")
+
+    statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
+               cfg.watershed_max_iters, tile_cap, cfg.patch_size,
+               cfg.theta_range, cfg.phi_range)
+    tiles_seg, tile_present, planes = _tiled_segment_pass(
+        enhanced_p, bkg_p, (thr_fg, thr_int), statics,
+        (tile_x, margin, n_tiles))
+    del enhanced_p, bkg_p
+
+    # Global ids: tile-local rank + tile * tile_cap.
+    offsets = (jnp.arange(n_tiles, dtype=jnp.int32)
+               * tile_cap)[:, None, None, None]
+    seg_g = jnp.where(tiles_seg > 0, tiles_seg + offsets, 0)
+    seg_g = seg_g.reshape(n_tiles * tile_x, y, z)[:x]
+
+    # Host union-find over the boundary plane pairs.
+    present = np.asarray(tile_present)        # (tiles, tile_cap) bool
+    planes_np = np.asarray(planes)            # (tiles, 2, Y, Z) private ids
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for t in range(n_tiles - 1):
+        xb = (t + 1) * tile_x
+        if xb >= x:
+            break
+        g0 = np.asarray(seg_g[xb - 1])
+        g1 = np.asarray(seg_g[xb])
+        priv = planes_np[t]
+        same = (priv[0] == priv[1]) & (priv[0] > 0) & (g0 > 0) & (g1 > 0)
+        for a, b in set(zip(g0[same].tolist(), g1[same].tolist())):
+            union(a, b)
+
+    all_ids = [t * tile_cap + r
+               for t in range(n_tiles)
+               for r in np.flatnonzero(present[t][1:]) + 1]
+    roots = sorted({find(i) for i in all_ids})
+    root_rank = {r: i + 1 for i, r in enumerate(roots)}
+    remap = np.zeros(n_tiles * tile_cap, np.float32)
+    for i in all_ids:
+        remap[i] = min(root_rank[find(i)], max_cells - 1)
+    n_cells = min(len(roots), max_cells - 1)
+
+    seg = segstats.label_lookup(
+        seg_g, jnp.asarray(remap), width=2048).astype(jnp.int32)
+    return seg, n_cells, None
 
 
 def segment_3d(volume_stack, cfg: SegmentationConfig = SegmentationConfig(),

@@ -224,3 +224,36 @@ def test_stitch_tiles_device_and_streamed_measurement():
     for lab in range(1, spec.n_cells + 1):
         v = avg[lab] / (np.linalg.norm(avg[lab]) + 1e-30)
         assert int(np.argmax(lut_n @ v)) == int(node_code[lab - 1])
+
+
+@pytest.mark.slow
+def test_segment_3d_tiled_matches_full_volume():
+    """The margin-tiled engine must agree with the whole-volume program:
+    same cell count, and every full-volume cell maps 1:1 onto a tiled cell
+    (IoU > 0.9) — including cells straddling tile boundaries, which exercise
+    the union-find merge."""
+    codes = [1, 9, 65, 127, 3, 5, 17, 33, 64]
+    stack, truth = _make_volume_stack(codes, shape=(144, 96, 40))
+    vol_sum = jnp.sum(segment3d.register_volume_stack(stack), axis=3)
+    cfg = SegmentationConfig(kmeans_iters=20)
+    seg_f, n_f, _ = segment3d.segment_3d_from_sum(vol_sum, cfg, 64,
+                                                  chunk_xy=48)
+    seg_t, n_t, enh = segment3d.segment_3d_tiled(vol_sum, cfg, 64,
+                                                 tile_x=48, margin=32,
+                                                 tile_cap=64, chunk_xy=48)
+    assert enh is None
+    assert int(n_t) == int(n_f)
+    f = np.asarray(seg_f)
+    t = np.asarray(seg_t)
+    assert ((f > 0) == (t > 0)).mean() > 0.999
+    used = set()
+    for v in range(1, int(n_f) + 1):
+        sel = f == v
+        vals, cnt = np.unique(t[sel], return_counts=True)
+        best = vals[np.argmax(cnt)]
+        assert best > 0
+        inter = (sel & (t == best)).sum()
+        union = (sel | (t == best)).sum()
+        assert inter / union > 0.9, v
+        assert best not in used  # bijective: no two cells merged
+        used.add(best)

@@ -117,14 +117,16 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     # ---- segment (timed) ----
     cfg = SegmentationConfig()
     t0 = time.time()
-    seg, n_cells, enhanced = segment3d.segment_3d_from_sum(
-        stitched, cfg, max_cells, chunk_xy)
+    vol_box = [stitched]          # ownership transfer: the segmenter pops
+    del stitched                  # it so the 2.8 GB input frees mid-pipeline
+    seg, n_cells, enhanced = segment3d.segment_3d_tiled(
+        vol_box, cfg, max_cells, chunk_xy=chunk_xy)
     sync(seg)
     timings["segment_s"] = time.time() - t0
     n_found = int(n_cells)
     log(f"segment: {timings['segment_s']:.1f}s, {n_found} cells "
         f"(true {n_cells_true})")
-    del enhanced, stitched
+    del enhanced  # tiled path returns None
 
     # ---- measure (timed): streamed 63-channel segment_sum ----
     key = jax.random.PRNGKey(1)

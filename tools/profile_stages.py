@@ -145,16 +145,48 @@ def main():
     stages["watershed"], seg0 = timeit(wsf, enhanced, markers, fg, bkg,
                                        reps=args.reps)
 
-    # --- filter_and_relabel -------------------------------------------------
+    # --- filter_and_relabel (legacy scatter path, for comparison) ---------
     fr = jax.jit(lambda s: lab.filter_and_relabel(s, cfg.lp_cell_min_size))
-    stages["filter_and_relabel"], (seg, n_cells_found) = timeit(
+    stages["filter_and_relabel(old)"], (seg, n_cells_found) = timeit(
         fr, seg0, reps=args.reps)
     seg = jnp.minimum(seg, max_cells - 1)
 
-    # --- measure --------------------------------------------------------------
+    # --- measure (legacy segment_sum, for comparison) ---------------------
     meas = jax.jit(lambda s, r: rp.mean_intensities(s, r, max_cells))
-    stages["measure(segsum)"], avgint = timeit(meas, seg, registered,
-                                               reps=args.reps)
+    stages["measure(segsum,old)"], avgint = timeit(meas, seg, registered,
+                                                   reps=args.reps)
+
+    # --- segstats stages (what the fused path actually runs) --------------
+    from hiprfish_tpu.ops import segstats
+
+    pre_segments = 2 * max_cells
+
+    rs = jax.jit(lambda m: segstats.remove_small_objects_fast(
+        m, cfg.lp_seed_min_size, 2))
+    stages["rso_fast(new)"], _ = timeit(rs, jax.jit(morph.binary_opening)(fg),
+                                        reps=args.reps)
+
+    rk = jax.jit(lambda s: segstats.rank_labels(s, 2, cfg.ccl_max_iters))
+    stages["rank_labels(new)"], (seg_seq, _n) = timeit(rk, seg0,
+                                                       reps=args.reps)
+    seg_seq = jnp.minimum(seg_seq, pre_segments - 1)
+
+    @jax.jit
+    def stage_stats_remap(s, r):
+        stats = segstats.label_stats(s, r, pre_segments, width=1024)
+        keep = (stats.counts >= cfg.lp_cell_min_size) \
+            & (stats.border_hits == 0)
+        keep = keep.at[0].set(False)
+        final = jnp.cumsum(keep.astype(jnp.int32))
+        remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
+        seg2 = segstats.label_lookup(s, remap, width=1024).astype(jnp.int32)
+        means = stats.sums / jnp.maximum(stats.counts, 1.0)[:, None]
+        av = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
+            .at[remap].set(means)
+        return seg2, final[-1], av.at[0].set(0.0)
+
+    stages["stats+remap+measure(new)"], (_, _, avgint) = timeit(
+        stage_stats_remap, seg_seq, registered, reps=args.reps)
 
     # --- classify ---------------------------------------------------------------
     spectra_lut = synthetic.fluorophore_spectra(layout)
