@@ -23,6 +23,12 @@ def main(argv=None):
         args.input_folder, args.probe_design_filename,
         output_pdf=os.path.join(args.input_folder,
                                 "multispecies_error_rate.pdf"))
+    # the reference's main also renders the per-taxon spectra grid
+    # (analyze_multispecies_images.py:207)
+    summarize.plot_representative_cell_spectra(
+        args.input_folder,
+        output_pdf=os.path.join(
+            args.input_folder, "multispecies_representative_cell_spectra.pdf"))
     for s in summaries:
         if len(s):
             print(s.to_string(index=False))

@@ -18,13 +18,14 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
-    """Cluster scalar values into k groups with histogram-accelerated Lloyd.
+def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
+                     n_bins: int = 2048):
+    """Sorted-ascending cluster centers only — no full-size assignment.
 
-    The N-point Lloyd update is collapsed onto a fixed n_bins histogram of the
-    value range: O(n_bins * k) per iteration instead of O(N * k), with
-    identical fixed points up to bin resolution. Returns (labels, centers)
-    with centers sorted ascending so cluster k-1 is always the brightest.
+    The (N, k) distance matrix of the final labeling is the only O(N*k)
+    buffer in kmeans1d; on gigavoxel volumes that alone is several GB, and
+    callers that just need a decision threshold (the tiled 3D engine) never
+    want it.
     """
     v = values.reshape(-1).astype(jnp.float32)
     vmin = jnp.min(v)
@@ -78,7 +79,20 @@ def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
     )
     all_centers, inertias = jax.vmap(lloyd)(inits)
     centers = all_centers[jnp.argmin(inertias)]
-    centers = jnp.sort(centers)
+    return jnp.sort(centers)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def kmeans1d(values: jax.Array, k: int, iters: int = 40, n_bins: int = 2048):
+    """Cluster scalar values into k groups with histogram-accelerated Lloyd.
+
+    The N-point Lloyd update is collapsed onto a fixed n_bins histogram of the
+    value range: O(n_bins * k) per iteration instead of O(N * k), with
+    identical fixed points up to bin resolution. Returns (labels, centers)
+    with centers sorted ascending so cluster k-1 is always the brightest.
+    """
+    centers = kmeans1d_centers(values, k, iters, n_bins)
+    v = values.reshape(-1).astype(jnp.float32)
     labels = jnp.argmin(jnp.abs(v[:, None] - centers[None, :]), axis=1)
     return labels.reshape(values.shape).astype(jnp.int32), centers
 

@@ -322,65 +322,87 @@ def _cluster_threshold(values, k: int, iters: int):
     """Global KMeans decision boundary between the two brightest clusters:
     assignment to the brightest cluster is exactly ``value >= midpoint`` for
     1-D nearest-center clustering, so tiles reproduce the full-volume
-    brightest_cluster_mask from this one scalar."""
-    _, centers = km.kmeans1d(values, k, iters)
+    brightest_cluster_mask from this one scalar. Centers-only fit — the
+    full-size assignment's (N, k) distance buffer is several GB at volume
+    scale (measured RESOURCE_EXHAUSTED)."""
+    centers = km.kmeans1d_centers(values, k, iters)
     return (centers[-1] + centers[-2]) / 2.0
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
-def _tiled_segment_pass(enhanced_p, bkg_p, thresholds, statics, shapes):
-    """lax.map sweep of the margin-tiled 3D segmenter (see segment_3d_tiled).
+def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
+    """One margin-tiled slab of the 3D segmenter (see segment_3d_tiled):
+    thresholded fg/interior masks -> opening -> small-object filter ->
+    fill-holes seeds -> tile-local CCL + rank -> watershed -> crop the
+    margin. Returns (tile_x, Y, Z) labels with tile-local sequential ids,
+    the id-presence bitmap of the crop, and this tile's PRIVATE labels on
+    its right-boundary plane pair (the host merge's sameness evidence).
 
-    Per tile: thresholded fg/interior masks -> opening -> small-object
-    filter -> fill-holes seeds -> tile-local CCL + rank -> watershed ->
-    crop the margin. Emits (tiles, tile_x, Y, Z) labels with tile-local
-    sequential ids, per-tile cell counts, and each tile's PRIVATE labels on
-    its right-boundary plane pair (the host merge's sameness evidence)."""
+    One compiled program swept over slabs by a host loop — a single
+    lax.map program over all tiles reproducibly crashed the TPU worker
+    ("kernel fault"), and the host loop costs only one dispatch per tile.
+    """
     from hiprfish_tpu.ops import segstats
 
     (thr_fg, thr_int) = thresholds
+    (seed_min, ccl_iters, ws_iters, tile_cap) = statics
+    (tile_x, margin) = shapes
+
+    pos = enh > 0
+    fg = (enh >= thr_fg) & pos
+    interior = (enh >= thr_int) & pos
+    interior = morph.binary_opening(interior)
+    interior = segstats.remove_small_objects_fast(
+        interior, seed_min, 3, num_segments=tile_cap,
+        max_iters=ccl_iters, exact_fallback=False)
+    seeds_mask = morph.binary_fill_holes(interior, 1) \
+        & morph.binary_fill_holes(fg, 1)
+    markers, n = segstats.rank_labels(
+        lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
+    markers = jnp.minimum(markers, tile_cap - 1)
+    seg = ws.watershed(-(enh * bkg), markers,
+                       seeds_mask | (fg & bkg), 1, ws_iters)
+    out = jax.lax.dynamic_slice(
+        seg, (margin, 0, 0), (tile_x, seg.shape[1], seg.shape[2]))
+    # A tile also labels cells living only in its margin; those ids never
+    # reach the cropped output and must not become global cells — report
+    # which ids are actually present in the crop.
+    present = segstats.label_stats(out, None, tile_cap).counts > 0
+    # Private labels on the plane pair straddling this tile's right
+    # boundary (slab-local x = margin + tile_x - 1 and + tile_x).
+    planes = jax.lax.dynamic_slice(
+        seg, (margin + tile_x - 1, 0, 0), (2, seg.shape[1], seg.shape[2]))
+    return out, present, planes
+
+
+def _tiled_segment_pass(boxes, thresholds, statics, shapes):
+    """Host-looped sweep of _segment_one_tile. ``boxes`` is a single-element
+    list [(enhanced_p, bkg_p)]; it is emptied before the per-tile outputs
+    are stacked so the 4 GB padded inputs free first. Returns stacked
+    (tiles, tile_x, Y, Z) labels, (tiles, tile_cap) presence, and
+    (tiles, 2, Y, Z) boundary planes."""
     (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
      theta_range, phi_range) = statics
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
-
-    def one_tile(t):
+    enhanced_p, bkg_p = boxes.pop()
+    outs, presents, planes = [], [], []
+    for t in range(n_tiles):
         start = t * tile_x
-        enh = jax.lax.dynamic_slice(
-            enhanced_p, (start, 0, 0),
-            (slab_x, enhanced_p.shape[1], enhanced_p.shape[2]))
-        bkg = jax.lax.dynamic_slice(
-            bkg_p, (start, 0, 0),
-            (slab_x, bkg_p.shape[1], bkg_p.shape[2]))
-        pos = enh > 0
-        fg = (enh >= thr_fg) & pos
-        interior = (enh >= thr_int) & pos
-        interior = morph.binary_opening(interior)
-        interior = segstats.remove_small_objects_fast(
-            interior, seed_min, 3, num_segments=tile_cap,
-            max_iters=ccl_iters, exact_fallback=False)
-        seeds_mask = morph.binary_fill_holes(interior, 1) \
-            & morph.binary_fill_holes(fg, 1)
-        markers, n = segstats.rank_labels(
-            lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
-        markers = jnp.minimum(markers, tile_cap - 1)
-        seg = ws.watershed(-(enh * bkg), markers,
-                           seeds_mask | (fg & bkg), 1, ws_iters)
-        out = jax.lax.dynamic_slice(
-            seg, (margin, 0, 0),
-            (tile_x, seg.shape[1], seg.shape[2]))
-        # A tile also labels cells living only in its margin; those ids
-        # never reach the cropped output and must not become global cells —
-        # report which ids are actually present in the crop.
-        present = segstats.label_stats(out, None, tile_cap).counts > 0
-        # Private labels on the plane pair straddling this tile's right
-        # boundary (slab-local x = margin + tile_x - 1 and + tile_x).
-        planes = jax.lax.dynamic_slice(
-            seg, (margin + tile_x - 1, 0, 0),
-            (2, seg.shape[1], seg.shape[2]))
-        return out, present, planes
-
-    return jax.lax.map(one_tile, jnp.arange(n_tiles, dtype=jnp.int32))
+        enh = jax.lax.slice(enhanced_p, (start, 0, 0),
+                            (start + slab_x, enhanced_p.shape[1],
+                             enhanced_p.shape[2]))
+        bkg = jax.lax.slice(bkg_p, (start, 0, 0),
+                            (start + slab_x, bkg_p.shape[1],
+                             bkg_p.shape[2]))
+        o, p, pl = _segment_one_tile(
+            enh, bkg, thresholds, (seed_min, ccl_iters, ws_iters, tile_cap),
+            (tile_x, margin))
+        outs.append(o)
+        presents.append(p)
+        planes.append(pl)
+    del enhanced_p, bkg_p, enh, bkg
+    return (jnp.stack(outs), jnp.stack(presents), jnp.stack(planes))
 
 
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
@@ -444,10 +466,10 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
                cfg.watershed_max_iters, tile_cap, cfg.patch_size,
                cfg.theta_range, cfg.phi_range)
-    tiles_seg, tile_present, planes = _tiled_segment_pass(
-        enhanced_p, bkg_p, (thr_fg, thr_int), statics,
-        (tile_x, margin, n_tiles))
+    box = [(enhanced_p, bkg_p)]
     del enhanced_p, bkg_p
+    tiles_seg, tile_present, planes = _tiled_segment_pass(
+        box, (thr_fg, thr_int), statics, (tile_x, margin, n_tiles))
 
     # Global ids: tile-local rank + tile * tile_cap.
     offsets = (jnp.arange(n_tiles, dtype=jnp.int32)

@@ -228,6 +228,97 @@ def _read_cell_information(path: str, nbits: int):
     return df.iloc[:, code_col].astype(str), spectra
 
 
+DEFAULT_SCI_NAMES = {
+    # the reference's 11-taxon synthetic community
+    # (analyze_multispecies_images.py:131-141)
+    564: "E. coli", 1718: "C. glutamicum", 1590: "L. plantarum",
+    140100: "V. albensis", 1580: "L. brevis", 438: "A. plantarum",
+    104102: "A. tropicalis", 108981: "A. schindleri",
+    285: "C. testosteroni", 1353: "E. gallinarum", 56459: "X. vasicola",
+}
+
+#: the reference's fixed taxon row order (analyze_multispecies_images.py:153)
+DEFAULT_TAXON_ORDER = (108981, 140100, 56459, 104102, 1580, 1590, 1353, 438,
+                       1718, 285, 564)
+
+
+def plot_representative_cell_spectra(input_folder: str,
+                                     encoding_sets=("A", "B", "C"),
+                                     set_titles=("Random", "Least Complex",
+                                                 "Most Complex"),
+                                     block_bounds=(0, 23, 43, 57, 63),
+                                     sci_names=None, taxon_order=None,
+                                     output_pdf: str | None = None):
+    """Per-taxon mean+/-std cell spectra in an (n_taxa, 2*n_sets) grid with
+    the 4 laser blocks drawn in the reference's colors
+    (analyze_multispecies_images.py:123-201). Taxa are discovered from the
+    ``*_{set}_{taxid}_fov_*_cell_information.csv`` files (the reference's
+    hardcoded 11-taxon table is the default name map). Returns
+    {(enc_set, taxid): (mean, std)} and writes the PDF when requested."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.gridspec import GridSpec
+
+    sci_names = DEFAULT_SCI_NAMES if sci_names is None else sci_names
+    nchan = block_bounds[-1]
+    colors = ["limegreen", "yellowgreen", "darkorange", "red"]
+
+    stats = {}
+    taxa_seen = []
+    for enc_set in encoding_sets:
+        for f in sorted(glob.glob(os.path.join(
+                input_folder, f"*_{enc_set}_*_cell_information.csv"))):
+            m = re.search(r"_([0-9]+)_fov_", os.path.basename(f))
+            if not m:
+                continue
+            taxid = int(m.group(1))
+            info = pd.read_csv(f, header=None)
+            spectra = info.iloc[:, :nchan].astype(float).values
+            stats[(enc_set, taxid)] = (spectra.mean(axis=0),
+                                       spectra.std(axis=0))
+            if taxid not in taxa_seen:
+                taxa_seen.append(taxid)
+
+    if taxon_order is None:
+        ordered = [t for t in DEFAULT_TAXON_ORDER if t in taxa_seen]
+        ordered += [t for t in taxa_seen if t not in ordered]
+    else:
+        ordered = [t for t in taxon_order if t in taxa_seen]
+
+    if output_pdf is not None and ordered:
+        fig = plt.figure(figsize=(9 / 2.54, 7 / 2.54))
+        gs = GridSpec(max(len(ordered), 2), 2 * len(encoding_sets))
+        for k, enc_set in enumerate(encoding_sets):
+            for i, taxid in enumerate(ordered):
+                if (enc_set, taxid) not in stats:
+                    continue
+                avg, std = stats[(enc_set, taxid)]
+                ax = plt.subplot(gs[i, 2 * k:2 * k + 2])
+                for b in range(len(block_bounds) - 1):
+                    lo, hi = block_bounds[b], block_bounds[b + 1]
+                    ax.errorbar(np.arange(lo, hi), avg[lo:hi],
+                                yerr=std[lo:hi], color=colors[b % 4],
+                                fmt="-o", markersize=0.1, capsize=0.4,
+                                linewidth=1.2, elinewidth=0.2,
+                                capthick=0.2, markeredgewidth=0)
+                ax.set_xticks([])
+                ax.set_yticks([])
+                if k == 0:
+                    name = sci_names.get(taxid, str(taxid))
+                    ax.set_ylabel(name, rotation=0,
+                                  horizontalalignment="right",
+                                  rotation_mode="anchor", fontsize=6,
+                                  fontstyle="italic")
+                if i == 0 and k < len(set_titles):
+                    ax.set_title(set_titles[k], fontsize=6)
+        plt.subplots_adjust(left=0.2, right=0.98, top=0.9, bottom=0.1)
+        plt.savefig(output_pdf, dpi=300, transparent=True)
+        plt.close(fig)
+    return stats
+
+
 def summarize_multispecies_error_rate(input_folder: str,
                                       probe_design_filenames,
                                       encoding_sets=("B", "C", "A"),

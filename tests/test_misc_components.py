@@ -183,3 +183,35 @@ def test_read_cell_information_schemas(tmp_path, rng):
     barcodes, spec = _read_cell_information(str(pb), 7)
     assert (barcodes == "0011001").all()
     assert spec.shape == (n, 63)
+
+
+def test_plot_representative_cell_spectra(tmp_path, rng):
+    """Per-taxon spectra grid (analyze_multispecies_images.py:123-201):
+    stats discovered from the cell_information naming convention; PDF
+    rendered; means match the file contents."""
+    import pandas as pd
+    from hiprfish_tpu.pipeline import summarize
+
+    taxids = [564, 1718]
+    base = {t: rng.rand(63) for t in taxids}
+    for enc_set in ("A", "B"):
+        for t in taxids:
+            n = 10
+            spectra = base[t][None, :] + rng.randn(n, 63) * 0.01
+            checks = rng.randint(0, 2, (n, 4)).astype(float)
+            meta = np.column_stack([
+                np.array(["s"] * n), np.arange(1, n + 1),
+                rng.rand(n), rng.rand(n), rng.rand(n), rng.rand(n),
+                rng.rand(n), rng.rand(n), rng.randint(60, 900, n)])
+            df = pd.DataFrame(np.column_stack(
+                [spectra, checks, np.array(["0101010"] * n)[:, None], meta]))
+            df.to_csv(tmp_path / f"x_{enc_set}_{t}_fov_1_cell_information.csv",
+                      index=None, header=None)
+    out = tmp_path / "grid.pdf"
+    stats = summarize.plot_representative_cell_spectra(
+        str(tmp_path), encoding_sets=("A", "B"),
+        set_titles=("Random", "Least Complex"), output_pdf=str(out))
+    assert out.exists()
+    assert set(stats) == {(e, t) for e in ("A", "B") for t in taxids}
+    mean_a_564 = stats[("A", 564)][0]
+    np.testing.assert_allclose(mean_a_564, base[564], atol=0.02)
