@@ -353,9 +353,9 @@ def label_stats(labels: jax.Array, image: jax.Array | None,
     return LabelStats(counts, border_hits, sums, win.spill, mom, ah)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _label_lookup_windowed(labels: jax.Array, table: jax.Array,
-                           width: int, band_px: int):
+                           width: int, band_px: int, out_dtype=None):
     num_segments = table.shape[0]
     lab_b, n, nb, pad = _band_setup(labels, band_px)
     tbl = jnp.pad(table.astype(jnp.float32), (0, width))
@@ -381,23 +381,28 @@ def _label_lookup_windowed(labels: jax.Array, table: jax.Array,
 
     _, (vals, spills) = jax.lax.scan(body, None, lab_b)
     out = vals.reshape(-1)[:n].reshape(labels.shape)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)   # in-program cast: no extra f32 buffer
     return out, jnp.any(spills)
 
 
 def label_lookup(labels: jax.Array, table: jax.Array, width: int = 512,
-                 band_px: int | None = None) -> jax.Array:
+                 band_px: int | None = None, out_dtype=None) -> jax.Array:
     """Gather-free ``table[labels]`` for band-local label images.
 
     ``table``: (num_segments,) values; returned as float32 (int tables up to
-    2^24 are exact). Falls back to a real gather on window spill.
+    2^24 are exact), or ``out_dtype`` when given. Falls back to a real
+    gather on window spill.
     """
     if band_px is None:
         band_px = _pick_band_px(labels.size)
-    out, spill = _label_lookup_windowed(labels, table, width, band_px)
+    out, spill = _label_lookup_windowed(labels, table, width, band_px,
+                                        out_dtype)
+    dt = out_dtype or jnp.float32
     return jax.lax.cond(
         spill,
         lambda l, t: t.astype(jnp.float32)[
-            jnp.clip(l, 0, t.shape[0] - 1)],
+            jnp.clip(l, 0, t.shape[0] - 1)].astype(dt),
         lambda l, t: out,
         labels, table)
 

@@ -348,6 +348,7 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     (seed_min, ccl_iters, ws_iters, tile_cap) = statics
     (tile_x, margin) = shapes
 
+    enh = enh.astype(jnp.float32)
     pos = enh > 0
     fg = (enh >= thr_fg) & pos
     interior = (enh >= thr_int) & pos
@@ -375,7 +376,7 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     return out, present, planes
 
 
-def _tiled_segment_pass(boxes, thresholds, statics, shapes):
+def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None):
     """Host-looped sweep of _segment_one_tile. ``boxes`` is a single-element
     list [(enhanced_p, bkg_p)]; it is emptied before the per-tile outputs
     are stacked so the 4 GB padded inputs free first. Returns stacked
@@ -401,8 +402,14 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes):
         outs.append(o)
         presents.append(p)
         planes.append(pl)
+        if t % 4 == 0 or t == n_tiles - 1:
+            jax.block_until_ready(p)
+            log(f"tile {t + 1}/{n_tiles}")
     del enhanced_p, bkg_p, enh, bkg
-    return (jnp.stack(outs), jnp.stack(presents), jnp.stack(planes))
+    # outs stays a LIST: stacking the full volume here plus the later
+    # global remap pass held three full-volume buffers at once (measured
+    # RESOURCE_EXHAUSTED at the reference scale)
+    return (outs, jnp.stack(presents), jnp.stack(planes))
 
 
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
@@ -434,6 +441,17 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     from hiprfish_tpu.ops import segstats
     from hiprfish_tpu.utils import oom
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _log(msg):
+        if _os.environ.get("HIPRFISH_3D_LOG"):
+            print(f"# [3d +{_time.time()-_t0:6.1f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
     if isinstance(vol_sum, list):
         vol_sum = vol_sum.pop()
     x, y, z = vol_sum.shape
@@ -441,6 +459,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     del vol_sum
     thr_bkg = _cluster_threshold(jnp.log10(vol_norm + 1e-8), 2,
                                  cfg.kmeans_iters)
+    _log(f"thr_bkg={float(thr_bkg):.3f}")
     bkg = jnp.log10(vol_norm + 1e-8) >= thr_bkg
 
     def _enhance(cx):
@@ -451,10 +470,13 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     enhanced, _ = oom.run_with_backoff(
         _enhance, oom.halving_ladder(chunk_xy, 32), label="chunk_xy")
     del vol_norm
-    enhanced = enhanced.astype(jnp.float32)
-
-    thr_fg = _cluster_threshold(enhanced, 2, cfg.kmeans_iters)
-    thr_int = _cluster_threshold(enhanced, 3, cfg.kmeans_iters)
+    _log("enhanced")
+    # keep bf16 on TPU: the full padded volume at f32 is ~4 GB; tiles cast
+    # their 260 MB slab up to f32 inside the per-tile program instead
+    thr_fg = _cluster_threshold(enhanced.astype(jnp.float32), 2,
+                                cfg.kmeans_iters)
+    thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,
+                                 cfg.kmeans_iters)
 
     n_tiles = -(-x // tile_x)
     pad_r = n_tiles * tile_x - x + margin
@@ -466,18 +488,16 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
                cfg.watershed_max_iters, tile_cap, cfg.patch_size,
                cfg.theta_range, cfg.phi_range)
+    _log(f"thr_fg={float(thr_fg):.3f} thr_int={float(thr_int):.3f}; "
+         f"{n_tiles} tiles")
     box = [(enhanced_p, bkg_p)]
     del enhanced_p, bkg_p
     tiles_seg, tile_present, planes = _tiled_segment_pass(
-        box, (thr_fg, thr_int), statics, (tile_x, margin, n_tiles))
+        box, (thr_fg, thr_int), statics, (tile_x, margin, n_tiles),
+        log=_log)
 
-    # Global ids: tile-local rank + tile * tile_cap.
-    offsets = (jnp.arange(n_tiles, dtype=jnp.int32)
-               * tile_cap)[:, None, None, None]
-    seg_g = jnp.where(tiles_seg > 0, tiles_seg + offsets, 0)
-    seg_g = seg_g.reshape(n_tiles * tile_x, y, z)[:x]
-
-    # Host union-find over the boundary plane pairs.
+    # Host union-find over the boundary plane pairs. Global id of tile t's
+    # local rank r is t * tile_cap + r.
     present = np.asarray(tile_present)        # (tiles, tile_cap) bool
     planes_np = np.asarray(planes)            # (tiles, 2, Y, Z) private ids
     parent = {}
@@ -497,8 +517,10 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         xb = (t + 1) * tile_x
         if xb >= x:
             break
-        g0 = np.asarray(seg_g[xb - 1])
-        g1 = np.asarray(seg_g[xb])
+        g0 = np.asarray(tiles_seg[t][-1])
+        g0 = np.where(g0 > 0, g0 + t * tile_cap, 0)
+        g1 = np.asarray(tiles_seg[t + 1][0])
+        g1 = np.where(g1 > 0, g1 + (t + 1) * tile_cap, 0)
         priv = planes_np[t]
         same = (priv[0] == priv[1]) & (priv[0] > 0) & (g0 > 0) & (g1 > 0)
         for a, b in set(zip(g0[same].tolist(), g1[same].tolist())):
@@ -514,8 +536,19 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         remap[i] = min(root_rank[find(i)], max_cells - 1)
     n_cells = min(len(roots), max_cells - 1)
 
-    seg = segstats.label_lookup(
-        seg_g, jnp.asarray(remap), width=2048).astype(jnp.int32)
+    _log(f"merge done: {n_cells} cells")
+    # Remap tile by tile (each tile's ids index its own tile_cap-slice of
+    # the global table), freeing originals as we go, then assemble once.
+    remapped = []
+    while tiles_seg:
+        t = len(remapped)
+        tbl = jnp.asarray(remap[t * tile_cap:(t + 1) * tile_cap])
+        remapped.append(segstats.label_lookup(
+            tiles_seg.pop(0), tbl, width=min(tile_cap, 2048),
+            out_dtype=jnp.int32))
+    seg = jnp.concatenate(remapped, axis=0)[:x]
+    del remapped
+    _log("remap applied")
     return seg, n_cells, None
 
 
@@ -555,15 +588,44 @@ def _accumulate_chunk(sums, counts, labels_chunk, chunk):
     return sums, counts
 
 
+@jax.jit
+def _accumulate_chunk_cm(sums_cm, counts, labels_slab, chunk_cm):
+    """Channels-major accumulation: chunk (C, zc, X, Y), labels (X, Y, zc).
+    TPU pads the minor-most dim to 128 lanes, so a channels-LAST slab
+    (N, 63) doubles to (N, 128) — 10+ GB per z-chunk at full volume
+    (measured RESOURCE_EXHAUSTED); channels-major keeps the big dim minor
+    and pads nothing."""
+    idx = jnp.transpose(labels_slab, (2, 0, 1)).reshape(-1)
+    c = chunk_cm.shape[0]
+    sums_cm = sums_cm.at[:, idx].add(chunk_cm.reshape(c, -1))
+    counts = counts.at[idx].add(1.0)
+    return sums_cm, counts
+
+
 def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
-                            n_channels: int, max_cells: int):
+                            n_channels: int, max_cells: int,
+                            channels_major: bool = False):
     """Per-cell mean spectra of a labeled volume whose C-channel data never
-    fits in memory: stream (X, Y, zc, C) slabs from ``chunk_loader(z0, zc)``
-    (device array or host loader) and accumulate per-label channel sums with
-    one segment_sum per slab — the working replacement for the reference's
+    fits in memory: stream slabs from ``chunk_loader(z0, zc)`` (device array
+    or host loader) and accumulate per-label channel sums with one
+    segment_sum per slab — the working replacement for the reference's
     broken 3D measurement path (biofilm_analysis.py:1359-1364 references
     undefined variables; its 2D analogue runs one regionprops pass per
-    channel)."""
+    channel).
+
+    ``channels_major=True``: the loader yields (C, zc, X, Y) slabs — the
+    layout that avoids the minor-dim channel padding (see
+    _accumulate_chunk_cm); otherwise (X, Y, zc, C)."""
+    if channels_major:
+        sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
+        counts = jnp.zeros((max_cells,), jnp.float32)
+        for z0 in range(0, z_total, z_chunk):
+            zc = min(z_chunk, z_total - z0)
+            chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+            sums_cm, counts = _accumulate_chunk_cm(
+                sums_cm, counts,
+                jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2), chunk)
+        return (sums_cm / jnp.maximum(counts, 1.0)[None, :]).T
     sums = jnp.zeros((max_cells, n_channels), jnp.float32)
     counts = jnp.zeros((max_cells,), jnp.float32)
     for z0 in range(0, z_total, z_chunk):

@@ -155,6 +155,21 @@ def channel_chunk(spec: VolumeSpec, n_codes: int, z0, zc: int,
     return base + noise
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def channel_chunk_cm(spec: VolumeSpec, n_codes: int, z0, zc: int,
+                     spectra_lut: jax.Array, key: jax.Array):
+    """(C, zc, X, Y) spectral slab — the channels-major layout the streamed
+    measurement wants (channels-last pads C to 128 lanes on TPU)."""
+    _, code_idx, profile = truth_chunk(spec, n_codes, z0, zc)
+    code_t = jnp.transpose(code_idx, (2, 0, 1))          # (zc, X, Y)
+    prof_t = jnp.transpose(profile, (2, 0, 1))
+    lut_t = jnp.transpose(jnp.asarray(spectra_lut))      # (C, n_codes)
+    base = lut_t[:, code_t] * prof_t[None]               # (C, zc, X, Y)
+    noise = jax.random.uniform(jax.random.fold_in(key, z0 + 100003),
+                               base.shape, jnp.float32) * spec.noise
+    return base + noise
+
+
 def build_sum_volume(spec: VolumeSpec, n_codes: int, sum_lut, seed: int = 0,
                      z_chunk: int = 32):
     """Assemble the full (X, Y, Z) channel-summed volume on device."""

@@ -219,6 +219,19 @@ def test_stitch_tiles_device_and_streamed_measurement():
         spec, len(codes), z0, zc, jnp.asarray(lut, jnp.float32), key)
     avg = np.asarray(segment3d.measure_volume_streamed(
         truth, loader, 40, 16, 63, 64))
+    # channels-major path must produce identical means (same data,
+    # transposed — channel_chunk_cm's own noise draw differs by shape)
+    loader_cm = lambda z0, zc: jnp.transpose(
+        loader(z0, zc), (3, 2, 0, 1))
+    # and the cm fixture builder itself must be layout-consistent
+    cm = np.asarray(s3.channel_chunk_cm(
+        spec, len(codes), 0, 4, jnp.asarray(lut, jnp.float32), key))
+    direct = np.asarray(loader(0, 4))
+    np.testing.assert_allclose(
+        cm.mean(axis=(1, 2, 3)), direct.mean(axis=(0, 1, 2)), atol=1e-3)
+    avg_cm = np.asarray(segment3d.measure_volume_streamed(
+        truth, loader_cm, 40, 16, 63, 64, channels_major=True))
+    np.testing.assert_allclose(avg_cm, avg, rtol=1e-5, atol=1e-6)
     node_code = s3.node_codes(spec, len(codes))
     lut_n = lut / np.linalg.norm(lut, axis=1, keepdims=True)
     for lab in range(1, spec.n_cells + 1):

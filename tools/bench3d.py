@@ -32,7 +32,7 @@ apply_compile_cache_env()
 
 
 def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
-        chunk_xy=128, z_chunk=5, max_cells=16384, verbose=True):
+        chunk_xy=128, z_chunk=2, max_cells=16384, verbose=True):
     import jax
     import jax.numpy as jnp
 
@@ -133,11 +133,12 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     lut_dev = jnp.asarray(lut, jnp.float32)
 
     def loader(z0, zc):
-        return s3.channel_chunk(spec, len(codes), z0, zc, lut_dev, key)
+        return s3.channel_chunk_cm(spec, len(codes), z0, zc, lut_dev, key)
 
     t0 = time.time()
     avg = segment3d.measure_volume_streamed(
-        seg, loader, shape[2], z_chunk, layout.n_channels, max_cells)
+        seg, loader, shape[2], z_chunk, layout.n_channels, max_cells,
+        channels_major=True)
     sync(avg)
     timings["measure_s"] = time.time() - t0
     log(f"measure (streamed 63ch): {timings['measure_s']:.1f}s")
@@ -154,10 +155,13 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     # ---- accuracy vs planted truth (untimed validation) ----
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def overlap_chunk(acc, z0, zc):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def overlap_chunk(acc, seg_full, z0, zc):
+        # seg passed as an argument: closing over the 4 GB device array
+        # embeds it as an HLO constant and the remote compile request
+        # explodes (measured HTTP 413)
         truth, code_idx, _ = s3.truth_chunk(spec, len(codes), z0, zc)
-        seg_c = jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2)
+        seg_c = jax.lax.dynamic_slice_in_dim(seg_full, z0, zc, 2)
         flat = jnp.where(truth > 0, seg_c * len(codes) + code_idx,
                          0).reshape(-1)
         return acc + jnp.bincount(
@@ -166,7 +170,7 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     acc_counts = jnp.zeros((max_cells * len(codes),), jnp.int32)
     for z0 in range(0, shape[2], 32):
         zc = min(32, shape[2] - z0)
-        acc_counts = overlap_chunk(acc_counts, z0, zc)
+        acc_counts = overlap_chunk(acc_counts, seg, z0, zc)
     counts = np.asarray(acc_counts).reshape(max_cells, len(codes)).copy()
     counts[0] = 0
     majority_code_row = counts.argmax(axis=1)       # lut row index
