@@ -101,9 +101,11 @@ def brightest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):
     """Boolean mask of the cluster with the highest center.
 
     Mirrors the reference's "compare per-cluster mean intensity, keep the
-    brighter one" idiom (spectral_image_measurement.py:75-84)."""
-    labels, centers = kmeans1d(image, k, iters)
-    return labels == (k - 1)
+    brighter one" idiom (spectral_image_measurement.py:75-84). Membership in
+    the brightest cluster is exactly ``value >= midpoint of the two highest
+    centers`` (1-D nearest-center), so the (N, k) argmin pass is skipped."""
+    centers = kmeans1d_centers(image, k, iters)
+    return image >= (centers[-1] + centers[-2]) / 2.0
 
 
 def darkest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):

@@ -87,19 +87,27 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # chain (see segment2d.segment_lpcv_from_registered): same cell seeds,
     # compact CCL inputs.
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
-    seeds_core = morph.binary_fill_holes(
-        segstats.remove_small_objects_fast(morph.binary_opening(fg),
-                                           cfg.lp_seed_min_size, 2))
-    seed_mask = seeds_core & morph.binary_fill_holes(fg)
+    seed_mask = morph.binary_fill_holes(morph.binary_opening(fg)) \
+        & morph.binary_fill_holes(fg)
 
     # Rank the markers to sequential 1..n BEFORE flooding (gather-free
     # presence trick, ops/segstats.py): the watershed then propagates
     # band-local sequential ids directly, which is what makes the one-pass
-    # windowed-matmul stats/remap in fov_step possible.
+    # windowed-matmul stats/remap in fov_step possible. Small seeds are
+    # filtered AFTER this single CCL by a windowed count pass — the
+    # pre-filter remove_small_objects ran a second full CCL (~34 ms of the
+    # fused budget, measured); the watershed mask (fg & bkg) is unchanged,
+    # sub-threshold fragments just lose their markers.
     markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters)
     markers_seq, _ = segstats.rank_labels(markers0, 2, cfg.ccl_max_iters)
     pre_segments = 2 * max_cells
-    markers = jnp.minimum(markers_seq, pre_segments - 1) \
+    markers_seq = jnp.minimum(markers_seq, pre_segments - 1)
+    st = segstats.label_stats(markers_seq, None, pre_segments, width=512)
+    keep_tbl = jnp.where(st.counts >= cfg.lp_seed_min_size,
+                         jnp.arange(pre_segments, dtype=jnp.float32),
+                         0.0).at[0].set(0.0)
+    markers = segstats.label_lookup(markers_seq, keep_tbl,
+                                    width=512).astype(jnp.int32) \
         * bkg.astype(jnp.int32)
     seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
                        cfg.watershed_max_iters)
@@ -156,14 +164,18 @@ def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
     # contact and full spectral sum (replaces filter_and_relabel +
     # segment_sum measurement — the two dominant scatter/gather stages,
     # ~156 ms -> ~25 ms at 2000^2; ops/segstats.py).
+    # width 512: ids in one 16k-pixel band span < ~200 even at 8k dense
+    # cells (ranks are raster-ordered); halving the window halves the
+    # materialized one-hot, the stage's dominant HBM traffic. Window spill
+    # still falls back to the exact path via lax.cond.
     pre_segments = 2 * max_cells
-    stats = segstats.label_stats(seg0, registered, pre_segments, width=1024)
+    stats = segstats.label_stats(seg0, registered, pre_segments, width=512)
     keep = (stats.counts >= cfg.lp_cell_min_size) & (stats.border_hits == 0)
     keep = keep.at[0].set(False)
     final = jnp.cumsum(keep.astype(jnp.int32))
     n_cells = final[-1]
     remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
-    seg = segstats.label_lookup(seg0, remap, width=1024).astype(jnp.int32)
+    seg = segstats.label_lookup(seg0, remap, width=512).astype(jnp.int32)
     means = stats.sums / jnp.maximum(stats.counts, 1.0)[:, None]
     avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
         .at[remap].set(means)

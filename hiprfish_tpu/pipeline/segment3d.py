@@ -353,14 +353,21 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     fg = (enh >= thr_fg) & pos
     interior = (enh >= thr_int) & pos
     interior = morph.binary_opening(interior)
-    interior = segstats.remove_small_objects_fast(
-        interior, seed_min, 3, num_segments=tile_cap,
-        max_iters=ccl_iters, exact_fallback=False)
     seeds_mask = morph.binary_fill_holes(interior, 1) \
         & morph.binary_fill_holes(fg, 1)
-    markers, n = segstats.rank_labels(
+    markers0, _n = segstats.rank_labels(
         lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
-    markers = jnp.minimum(markers, tile_cap - 1)
+    markers0 = jnp.minimum(markers0, tile_cap - 1)
+    # Small-seed filter AFTER the single CCL+rank (the pre-filter
+    # remove_small_objects ran a second full CCL — 2.3 s of the 5.1 s
+    # per-tile budget, measured). Equivalent up to sub-seed_min fragments'
+    # hole pixels: interior ⊂ fg (thr_int > thr_fg), so the watershed mask
+    # is unchanged and unfiltered fragments just lose their markers.
+    st = segstats.label_stats(markers0, None, tile_cap)
+    keep_tbl = jnp.where(st.counts >= seed_min,
+                         jnp.arange(tile_cap, dtype=jnp.float32),
+                         0.0).at[0].set(0.0)
+    markers = segstats.label_lookup(markers0, keep_tbl).astype(jnp.int32)
     seg = ws.watershed(-(enh * bkg), markers,
                        seeds_mask | (fg & bkg), 1, ws_iters)
     out = jax.lax.dynamic_slice(
@@ -413,7 +420,7 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None):
 
 
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
-                     max_cells: int = 16384, tile_x: int = 128,
+                     max_cells: int = 16384, tile_x: int = 240,
                      margin: int = 64, tile_cap: int = 8192,
                      chunk_xy: int = 128):
     """Full-scale 3D segmentation as a margin-tiled sweep — the design that

@@ -207,3 +207,18 @@ def test_label_overlap_any():
     mask[11, 11] = True
     hit = np.asarray(regionprops.label_overlap_any(jnp.asarray(labels), jnp.asarray(mask), 4))
     assert not hit[1] and hit[2]
+
+
+def test_fill_holes_hierarchical_path_exact(rng):
+    """binary_fill_holes above the two-level flood threshold (2^22 px) must
+    stay exactly scipy-equivalent (the coarse phase may only add valid
+    seeds, never change the fixed point)."""
+    from scipy import ndimage as ndi
+    import jax.numpy as jnp
+    from hiprfish_tpu.ops import morphology as morph
+
+    m = rng.rand(2100, 2100) < 0.4
+    m = ndi.binary_closing(m)
+    ours = np.asarray(morph.binary_fill_holes(jnp.asarray(m), 1))
+    ref = ndi.binary_fill_holes(m)
+    assert np.array_equal(ours, ref)
