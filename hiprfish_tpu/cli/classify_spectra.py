@@ -22,6 +22,13 @@ def main(argv=None):
                         type=str, default="")
     parser.add_argument("-r", "--ref_clf", dest="ref_clf", type=str, default="")
     args = parser.parse_args(argv)
+    import os
+
+    if args.ref_clf.endswith("transform_biofilm_7b.pkl") and os.path.exists(
+            args.ref_clf):
+        # the reference's own 4-pickle stack (classify_spectra.py:56-59)
+        classify.classify_spectra_7b_legacy(args.input_spectra, args.ref_clf)
+        return
     clf = load_classifier(resolve_classifier_path(args.ref_clf))
     classify.classify_spectra_7b(args.input_spectra, clf)
 

@@ -93,13 +93,17 @@ class JaxRbfSvc:
     """
 
     def __init__(self, support_vectors, dual_coef, intercept, gamma,
-                 classes, n_support):
+                 classes, n_support, probA=None, probB=None):
         self.sv = np.asarray(support_vectors, np.float32)
         self.dual_coef = np.asarray(dual_coef, np.float32)
         self.intercept = np.asarray(intercept, np.float32)
         self.gamma = float(gamma)
         self.classes = np.asarray(classes)
         self.n_support = np.asarray(n_support)
+        self.probA = None if probA is None or len(probA) == 0 \
+            else np.asarray(probA, np.float64)
+        self.probB = None if probB is None or len(probB) == 0 \
+            else np.asarray(probB, np.float64)
 
     @classmethod
     def from_sklearn(cls, svc):
@@ -107,6 +111,7 @@ class JaxRbfSvc:
         return cls(
             svc.support_vectors_, svc.dual_coef_, svc.intercept_, gamma,
             svc.classes_, svc.n_support_,
+            getattr(svc, "probA_", None), getattr(svc, "probB_", None),
         )
 
     def decision_function_ovo(self, x):
@@ -152,6 +157,52 @@ class JaxRbfSvc:
                 votes[~win, j] += 1
                 p += 1
         return self.classes[np.argmax(votes, axis=1)]
+
+    def predict_proba(self, x, n_iter: int = 100):
+        """Class probabilities via sklearn's algorithm: per-pair Platt
+        sigmoids (the pickled probA_/probB_ coefficients) coupled into
+        multiclass probabilities with Wu-Lin-Weng pairwise coupling — the
+        path the reference's biofilm measurement exercises
+        (biofilm_analysis.py:1227 clf_umap.predict_proba). Requires the SVC
+        to have been fit with probability=True."""
+        if self.probA is None:
+            raise ValueError("SVC was not fit with probability=True")
+        dec = np.asarray(self.decision_function_ovo(x), np.float64)
+        n = dec.shape[0]
+        k = len(self.classes)
+        # pairwise probabilities r[i,j] = P(class i | i or j)
+        r = np.zeros((n, k, k))
+        p = 0
+        for i in range(k):
+            for j in range(i + 1, k):
+                val = dec[:, p] * self.probA[p] + self.probB[p]
+                pij = 1.0 / (1.0 + np.exp(np.clip(val, -500, 500)))
+                pij = np.clip(pij, 1e-7, 1 - 1e-7)
+                r[:, i, j] = pij
+                r[:, j, i] = 1.0 - pij
+                p += 1
+        # Wu-Lin-Weng method 2 fixed-point iteration (libsvm's
+        # multiclass_probability, svm.cpp)
+        prob = np.full((n, k), 1.0 / k)
+        Q = np.zeros((n, k, k))
+        for i in range(k):
+            Q[:, i, i] = (r[:, :, i] ** 2).sum(axis=1) - r[:, i, i] ** 2
+            for j in range(k):
+                if j != i:
+                    Q[:, i, j] = -r[:, j, i] * r[:, i, j]
+        for _ in range(n_iter):
+            Qp = np.einsum("nij,nj->ni", Q, prob)
+            pQp = np.einsum("ni,ni->n", prob, Qp)
+            if np.abs(Qp - pQp[:, None]).max() < 0.005 / k:
+                break
+            for t in range(k):
+                diff = (-Qp[:, t] + pQp) / Q[:, t, t]
+                prob[:, t] += diff
+                pQp = ((pQp + diff * (diff * Q[:, t, t] + 2 * Qp[:, t]))
+                       / (1 + diff) ** 2)
+                Qp = (Qp + diff[:, None] * Q[:, t, :]) / (1 + diff)[:, None]
+                prob /= (1 + diff)[:, None]
+        return prob / prob.sum(axis=1, keepdims=True)
 
 
 def load_reference_svc(path: str) -> JaxRbfSvc:

@@ -285,10 +285,12 @@ def umap_transform(model: UmapModel, query,
 
 
 class LegacyUmapClassifier(NamedTuple):
-    """The reference's 3-pickle classifier stack, TPU-scored.
+    """The reference's pickled classifier stack, TPU-scored.
 
-    predict mirrors image_classification.py:44-56: six check SVCs populate
-    the check-bit feature columns, the UMAP transform embeds the result, the
+    predict mirrors image_classification.py:44-56 (10-bit, 3 pickles) and
+    classify_spectra.py:23-35 (7-bit, 4 pickles incl. StandardScaler; the
+    check SVCs there consume SCALED spectra): check SVCs populate the
+    check-bit feature columns, the UMAP transform embeds the result, the
     embedding SVC emits barcode strings."""
 
     umap: UmapModel
@@ -296,18 +298,34 @@ class LegacyUmapClassifier(NamedTuple):
     check_svcs: Sequence["object"]       # per-laser-block JaxRbfSvc list
     blocks: Sequence[tuple]              # feature slices per check SVC
     distance_fn: Callable | None = None
+    scaler_mean: "object" = None         # StandardScaler params (7-bit)
+    scaler_scale: "object" = None
+    n_base: int | None = None            # spectral columns the scaler covers
 
-    def predict(self, features, n_epochs: int = 30, key=None):
+    def check_inputs(self, x):
+        if self.scaler_mean is None:
+            return x
+        base = x[:, : self.n_base]
+        scaled = (base - self.scaler_mean) / self.scaler_scale
+        return np.concatenate(
+            [scaled, x[:, self.n_base:]], axis=1).astype(np.float32)
+
+    def predict(self, features, n_epochs: int = 30, key=None,
+                return_checks: bool = False):
         x = np.asarray(features, np.float32).copy()
         n_blocks = len(self.check_svcs)
         base = x.shape[1] - n_blocks
+        xs = self.check_inputs(x)
         for i, (svc, (lo, hi)) in enumerate(zip(self.check_svcs,
                                                 self.blocks)):
             x[:, base + i] = np.asarray(
-                svc.predict(x[:, lo:hi])).astype(np.float32)
+                svc.predict(xs[:, lo:hi])).astype(np.float32)
         emb = umap_transform(self.umap, x, distance_fn=self.distance_fn,
                              n_epochs=n_epochs, key=key)
-        return self.svc_embed.predict(np.asarray(emb))
+        pred = self.svc_embed.predict(np.asarray(emb))
+        if return_checks:
+            return pred, x
+        return pred
 
 
 def load_legacy_umap_stack(transform_path: str,
@@ -334,3 +352,35 @@ def load_legacy_umap_stack(transform_path: str,
         blocks = [(0, 32), (32, 55), (55, 75), (75, 89), (89, 95), (95, 126)]
     return LegacyUmapClassifier(umap_model, svc, checks, tuple(blocks),
                                 distance_fn)
+
+
+def load_legacy_umap_stack_7b(transform_path: str,
+                              distance_fn: Callable | None = None
+                              ) -> LegacyUmapClassifier:
+    """The 7-bit biofilm artifact quartet (umap transform + scaler +
+    embedded SVC + 4 check SVCs) by the reference's naming convention
+    (classify_spectra.py:56-59); check SVCs read scaled 63-channel blocks."""
+    import re
+
+    from hiprfish_tpu.models.artifacts import load_reference_svc
+
+    def sub(tail):
+        return re.sub("transform_biofilm_7b.pkl", tail, transform_path)
+
+    umap_model = load_umap_pickle(transform_path)
+    try:  # sklearn is importable, so joblib handles its own framing
+        import joblib
+
+        scaler = joblib.load(sub("transformed_biofilm_7b_scaler.pkl"))
+    except Exception:
+        scaler = permissive_load(sub("transformed_biofilm_7b_scaler.pkl"))
+    svc = load_reference_svc(sub("transformed_biofilm_7b_svc.pkl"))
+    checks = load_reference_svc(sub("transformed_biofilm_7b_check_svc.pkl"))
+    if not isinstance(checks, list):
+        checks = [checks]
+    blocks = [(0, 23), (23, 43), (43, 57), (57, 63)]
+    return LegacyUmapClassifier(
+        umap_model, svc, checks, tuple(blocks), distance_fn,
+        scaler_mean=np.asarray(_get(scaler, "mean_"), np.float32),
+        scaler_scale=np.asarray(_get(scaler, "scale_"), np.float32),
+        n_base=63)

@@ -101,6 +101,47 @@ def classify_ecoli_legacy(avgint_filename: str, transform_path: str,
     return codes
 
 
+def classify_spectra_7b_legacy(input_spectra: str, transform_path: str):
+    """Classify one FOV's 7-bit spectra with the reference's own 4-pickle
+    stack (umap transform + scaler + embedded SVC + check SVCs), writing
+    the same cell_information table (classify_spectra.py:23-49)."""
+    from hiprfish_tpu.models import umap_infer
+
+    sample = input_spectra[: -len("_avgint_norm.csv")]
+    avgint = pd.read_csv(input_spectra).values
+    segmentation = np.load(sample + "_seg.npy")
+    avgint_norm = avgint / np.maximum(avgint.max(axis=1, keepdims=True),
+                                      1e-12)
+    n = avgint_norm.shape[0]
+    feats = np.concatenate(
+        [avgint_norm, np.zeros((n, 4), np.float32)], axis=1)
+    stack = umap_infer.load_legacy_umap_stack_7b(transform_path)
+    codes, feats = stack.predict(feats, return_checks=True)
+    codes = np.asarray(codes).astype(str)
+
+    max_cells = 1 << max(4, int(np.ceil(np.log2(n + 2))))
+    props = {
+        k: np.asarray(v)[1 : n + 1]
+        for k, v in rp.shape_props_2d(jnp.asarray(segmentation),
+                                      max_cells).items()
+    }
+    cell_info = pd.DataFrame(
+        np.concatenate([feats, codes[:, None]], axis=1))
+    col = cell_info.shape[1]
+    cell_info[col] = sample
+    cell_info[col + 1] = np.arange(1, n + 1)
+    cell_info[col + 2] = props["centroid_r"]
+    cell_info[col + 3] = props["centroid_c"]
+    cell_info[col + 4] = props["major_axis_length"]
+    cell_info[col + 5] = props["minor_axis_length"]
+    cell_info[col + 6] = props["eccentricity"]
+    cell_info[col + 7] = props["orientation"]
+    cell_info[col + 8] = props["area"]
+    cell_info.to_csv(sample + "_cell_information.csv", index=None,
+                     header=None)
+    return codes
+
+
 def classify_spectra_7b(input_spectra: str, clf: SpectralClassifier,
                         save_png: bool = False):
     """Classify one FOV's 7-bit spectra and write the cell_information table

@@ -3,6 +3,7 @@ artifacts without umap-learn, and the JAX re-implementation of
 UMAP.transform feeding the embedded SVC (image_classification.py:44-56)."""
 
 import pickle
+import pandas as pd
 import sys
 import types
 
@@ -191,3 +192,83 @@ def test_full_legacy_stack_end_to_end(tmp_path, rng):
     pred = stack.predict(np.clip(Q, 0, None), n_epochs=30)
     agree = (np.asarray(pred) == np.array([codebook[c] for c in qy])).mean()
     assert agree >= 0.99
+
+
+def test_jax_rbf_svc_predict_proba_matches_sklearn(rng):
+    """Platt + Wu-Lin-Weng coupling must reproduce sklearn's
+    predict_proba (the biofilm path consumes it,
+    biofilm_analysis.py:1227)."""
+    from sklearn import svm
+
+    from hiprfish_tpu.models.artifacts import JaxRbfSvc
+
+    x = rng.rand(400, 10)
+    y = (x[:, 0] * 4).astype(int)
+    clf = svm.SVC(C=10, gamma=0.5, probability=True,
+                  random_state=0).fit(x, y)
+    ours = JaxRbfSvc.from_sklearn(clf)
+    xt = rng.rand(60, 10)
+    ref = clf.predict_proba(xt)
+    got = ours.predict_proba(xt)
+    assert np.abs(got - ref).max() < 5e-3
+    assert (got.argmax(1) == ref.argmax(1)).all()
+
+
+def test_legacy_7b_cli_route(tmp_path, rng, monkeypatch):
+    """cli/classify_spectra.py with -r *_umap_transform_biofilm_7b.pkl runs
+    the reference's 4-pickle stack (incl. StandardScaler feeding the check
+    SVCs) and writes the cell_information schema."""
+    from sklearn import svm
+    from sklearn.preprocessing import StandardScaler
+    import joblib
+
+    from hiprfish_tpu.cli import classify_spectra as cli_cs
+
+    n_classes, n_cells = 4, 20
+    centers = np.clip(rng.rand(n_classes, 63).astype(np.float32), 0.05, None)
+    y = np.repeat(np.arange(n_classes), 30)
+    raw = np.clip(centers[y] + rng.randn(len(y), 63).astype(np.float32)
+                  * 0.02, 0, None)
+    raw /= raw.max(axis=1, keepdims=True)
+    scaler = StandardScaler().fit(raw)
+    feats = np.concatenate([raw, np.zeros((len(y), 4), np.float32)], 1)
+    blocks = [(0, 23), (23, 43), (43, 57), (57, 63)]
+    scaled = scaler.transform(raw)
+    checks = []
+    for i, (lo, hi) in enumerate(blocks):
+        bits = (y >> (i % 2)) % 2
+        feats[:, 63 + i] = bits
+        checks.append(svm.SVC(C=10, gamma=0.5).fit(scaled[:, lo:hi], bits))
+    ang = 2 * np.pi * y / n_classes
+    emb = np.stack([8 * np.cos(ang), 8 * np.sin(ang)], 1).astype(np.float32)
+    emb += rng.randn(*emb.shape).astype(np.float32) * 0.2
+    codebook = [format(c + 1, "07b") for c in range(n_classes)]
+    svc_emb = svm.SVC(C=10, gamma=0.5).fit(
+        emb, np.array([codebook[c] for c in y]))
+
+    tr = _fake_umap_pickle(tmp_path, feats, emb,
+                           name="ref_umap_transform_biofilm_7b.pkl")
+    joblib.dump(scaler,
+                tmp_path / "ref_umap_transformed_biofilm_7b_scaler.pkl")
+    joblib.dump(svc_emb, tmp_path / "ref_umap_transformed_biofilm_7b_svc.pkl")
+    joblib.dump(checks,
+                tmp_path / "ref_umap_transformed_biofilm_7b_check_svc.pkl")
+
+    qy = rng.randint(0, n_classes, n_cells)
+    q = np.clip(centers[qy] + rng.randn(n_cells, 63).astype(np.float32)
+                * 0.02, 0, None)
+    monkeypatch.chdir(tmp_path)
+    pd.DataFrame(q).to_csv("s7_avgint_norm.csv", index=False)
+    seg = np.zeros((40, 40), np.int32)
+    seg.reshape(-1)[: n_cells] = np.arange(1, n_cells + 1)
+    np.save("s7_seg.npy", seg)
+
+    cli_cs.main(["-i", "s7_avgint_norm.csv", "-r", str(tr)])
+    # the reference reads this file with dtype={67: str} to keep leading
+    # zeros (classify_spectra.py) — mirror that
+    info = pd.read_csv("s7_cell_information.csv", header=None,
+                       dtype={67: str})
+    assert info.shape[0] == n_cells
+    got = info.iloc[:, 67].values
+    want = np.array([codebook[c] for c in qy])
+    assert (got == want).mean() >= 0.95
