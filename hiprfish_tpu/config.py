@@ -124,9 +124,10 @@ class SegmentationConfig:
     max_shift: int = 15        # ecoli shift clamp (spectral_image_measurement.py:54-57)
     clamp_shift: bool = True
     # Fused-path FFT registration runs on a centered power-of-two crop
-    # (same integer shift for rigid stage drift, ~3x cheaper FFTs at 2000^2;
-    # 0 disables and correlates the full frame like the reference).
-    register_crop: int = 1024
+    # (same integer shift for rigid stage drift — it is clamped to +/-15 px
+    # anyway — with ~16x cheaper FFTs at 2000^2; 0 disables and correlates
+    # the full frame like the reference).
+    register_crop: int = 512
 
     # NL-means denoising (multispecies_spectral_image_measurement.py:108)
     nlm_h: float = 0.02
