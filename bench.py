@@ -67,26 +67,46 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
     print(f"# [10b] fixture built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Full 1023-class training set (spc rows/class) + violet derivative.
+    # The built artifact is cached under its filename convention
+    # (reference_simulate_{spc}_* like train_reference.py:2046) so bench
+    # reruns skip training; delete .bench_cache to force a rebuild.
+    from hiprfish_tpu.models.artifacts import load_classifier, save_classifier
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    clf_path = os.path.join(
+        cache_dir, f"reference_simulate_{spc}_excitation_adjusted_"
+        "normalized_violet_derivative_umap_transform.npz")
     t0 = time.time()
-    lut = synthetic.fluorophore_spectra(layout)
-    base = np.stack([synthetic.barcode_spectrum(layout, c, lut)
-                     for c in all_codes])                     # (1023, 95)
-    gains = rng.uniform(0.7, 1.3, (1023, spc, 1)).astype(np.float32)
-    noise = rng.randn(1023, spc, layout.n_channels).astype(np.float32) * 0.02
-    spectra = np.clip(gains * base[:, None, :] + noise, 0, None)
-    spectra = spectra.reshape(1023 * spc, layout.n_channels)
-    spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
-    spectra = np.concatenate(
-        [spectra, np.diff(spectra[:, :32], axis=1)], axis=1)
-    code_strs = [layout.code_str(c) for c in all_codes for _ in range(spc)]
-    checks = mtrain.check_bits_for_codes(layout, code_strs)
-    clf = train_classifier(
-        jax.random.PRNGKey(0), layout, spectra, code_strs, checks,
-        ClassifierConfig(check_train_steps=300), violet_derivative=True,
-        knn_store_per_class=max(1, 51200 // 1023))
+    train_rows = 1023 * spc
+    if os.path.exists(clf_path):
+        clf = load_classifier(clf_path)
+        print(f"# [10b] classifier loaded from cache ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+        train_s = 0.0
+    else:
+        lut = synthetic.fluorophore_spectra(layout)
+        base = np.stack([synthetic.barcode_spectrum(layout, c, lut)
+                         for c in all_codes])                     # (1023, 95)
+        gains = rng.uniform(0.7, 1.3, (1023, spc, 1)).astype(np.float32)
+        noise = rng.randn(1023, spc, layout.n_channels).astype(np.float32) \
+            * 0.02
+        spectra = np.clip(gains * base[:, None, :] + noise, 0, None)
+        spectra = spectra.reshape(1023 * spc, layout.n_channels)
+        spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
+        spectra = np.concatenate(
+            [spectra, np.diff(spectra[:, :32], axis=1)], axis=1)
+        code_strs = [layout.code_str(c) for c in all_codes for _ in range(spc)]
+        checks = mtrain.check_bits_for_codes(layout, code_strs)
+        clf = train_classifier(
+            jax.random.PRNGKey(0), layout, spectra, code_strs, checks,
+            ClassifierConfig(check_train_steps=300), violet_derivative=True)
+        train_s = time.time() - t0
+        os.makedirs(cache_dir, exist_ok=True)
+        save_classifier(clf_path, clf)
     clf_arrays, clf_static = fused.classifier_to_device_args(clf)
     print(f"# [10b] classifier: {len(clf.codebook)} classes, trained on "
-          f"{len(code_strs)} rows, kNN matrix {clf.train_features.shape} "
+          f"{train_rows} rows, kNN matrix {clf.train_features.shape} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
 
     cfg = SegmentationConfig()
@@ -129,7 +149,8 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
         "cells": int(n_found),
         "classes": len(clf.codebook),
         "knn_rows": int(clf.train_features.shape[0]),
-        "train_rows": len(code_strs),
+        "train_rows": train_rows,
+        "train_s": round(train_s, 1),
     }
 
 

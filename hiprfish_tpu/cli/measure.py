@@ -43,6 +43,12 @@ def measure_reference_images(image_names, cal_toggle="F",
     else:
         res = segment2d.segment_ecoli(stack, cfg, max_cells)
     registered = res.registered
+    if cal_toggle == "T" and not calibration_filename:
+        # the reference defaults -c to 'T' and then crashes on the empty
+        # default -cf (spectral_image_measurement.py:167-174 only works when
+        # the Snakefile supplies both); degrade to uncalibrated instead
+        print("calibration requested but no -cf file given; skipping")
+        cal_toggle = "F"
     if cal_toggle == "T":
         cal = iio.load_calibration_image(calibration_filename)
         cal_cube = iio.build_calibration_cube(

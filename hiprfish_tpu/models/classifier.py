@@ -61,9 +61,20 @@ def _mlp_logit(params, x):
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _train_check_head(key, x, y, init_params, steps: int, lr: float):
-    """Binary-cross-entropy training of one check head with Adam."""
+    """Binary-cross-entropy training of one check head with Adam.
+
+    Minibatches are contiguous dynamic slices of a once-shuffled copy of the
+    data — a per-step random-index gather from the full training matrix
+    inside the scan measures ~600 s for the 10-bit build (6 heads x 300
+    steps x 4096 rows from (204600, 32)); one up-front permutation plus
+    dynamic_slice is the TPU-shaped formulation of the same SGD."""
     tx = optax.adam(lr)
     opt_state = tx.init(init_params)
+    n = x.shape[0]
+    bs = min(4096, n)
+    perm = jax.random.permutation(key, n)
+    xs = jnp.take(x, perm, axis=0)
+    ys = jnp.take(y, perm, axis=0)
 
     def loss_fn(p, xb, yb):
         logit = _mlp_logit(p, xb)
@@ -71,15 +82,17 @@ def _train_check_head(key, x, y, init_params, steps: int, lr: float):
             optax.sigmoid_binary_cross_entropy(logit, yb.astype(jnp.float32))
         )
 
-    def step(carry, k):
+    def step(carry, i):
         p, s = carry
-        idx = jax.random.randint(k, (min(4096, x.shape[0]),), 0, x.shape[0])
-        g = jax.grad(loss_fn)(p, x[idx], y[idx])
+        start = (i * bs) % jnp.maximum(n - bs + 1, 1)
+        xb = jax.lax.dynamic_slice_in_dim(xs, start, bs)
+        yb = jax.lax.dynamic_slice_in_dim(ys, start, bs)
+        g = jax.grad(loss_fn)(p, xb, yb)
         updates, s = tx.update(g, s, p)
         return (optax.apply_updates(p, updates), s), None
 
     (params, _), _ = jax.lax.scan(
-        step, (init_params, opt_state), jax.random.split(key, steps)
+        step, (init_params, opt_state), jnp.arange(steps)
     )
     return params
 
@@ -199,6 +212,7 @@ def _knn_predict(
     # TPU-native approximate k-NN selection (recall vs exact sort; 0.999
     # keeps the true nearest neighbor with high probability, which matters
     # now that high-temperature voting behaves like 1-NN).
+    k = min(k, train.shape[0] - 1) if train.shape[0] > 1 else 1
     neg_d, idx = jax.lax.approx_max_k(-d, k, recall_target=0.999)
     nb_labels = labels[idx]                            # (N, k)
     w = jax.nn.softmax(neg_d * temperature, axis=1)    # exp(-d*T) normalized
@@ -229,6 +243,7 @@ def train_classifier(
     check_spectra: np.ndarray | None = None,   # incl. negatives (defaults to spectra)
     check_bits_full: np.ndarray | None = None,
     knn_store_per_class: int | None = None,
+    knn_prototypes_per_class: int | None = 8,
 ) -> SpectralClassifier:
     """Fit the classifier: check heads on (optionally scaled) block slices,
     and the kNN reference matrix = [spectra, check bits] under the gated
@@ -295,7 +310,34 @@ def train_classifier(
     n_check_cols = check_slice[1] - check_slice[0]
     feats = np.concatenate([spectra, check_bits[:, :n_check_cols]],
                            axis=1).astype(np.float32)
-    if knn_store_per_class is not None:
+    if knn_prototypes_per_class is not None:
+        # Prototype averaging: store p noise-averaged prototypes per class
+        # instead of raw simulated rows. Per-row simulation noise is what
+        # makes one-bit-off classes win ties (measured on the 10-bit bench:
+        # every error was a clean spectrum outranked by a noisy neighbor of
+        # the code with bit 3 dropped — d_true-d_pred ~ 0.003, the noise
+        # scale); averaging g=spc/p rows shrinks prototype noise by sqrt(g)
+        # while keeping p-modal within-class structure (FRET/reabsorption
+        # variants of train_reference.py populate multiple modes). Also
+        # cuts the kNN GEMM ~spc/p-fold.
+        order = np.argsort(labels, kind="stable")
+        feats_s, labels_s = feats[order], labels[order]
+        proto_feats, proto_labels = [], []
+        for ci in range(len(codebook)):
+            rows = feats_s[labels_s == ci]
+            p = min(knn_prototypes_per_class, len(rows))
+            if p == 0:
+                continue
+            groups = np.array_split(rows, p)
+            proto_feats.extend(g.mean(axis=0) for g in groups)
+            proto_labels.extend([ci] * p)
+        feats = np.stack(proto_feats).astype(np.float32)
+        labels = np.asarray(proto_labels, np.int32)
+        # prototype check-bit columns must stay crisp 0/1 (they gate the
+        # metric); within a class they are constant, so the mean is exact —
+        # round defensively for float drift
+        feats[:, spectra.shape[1]:] = np.round(feats[:, spectra.shape[1]:])
+    elif knn_store_per_class is not None:
         keep = []
         for ci in range(len(codebook)):
             rows = np.where(labels == ci)[0][:knn_store_per_class]

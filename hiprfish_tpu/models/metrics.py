@@ -119,6 +119,120 @@ def correlation_distance_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
     return 1.0 - jnp.dot(xn, yn.T, preferred_element_type=jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Exact matrix forms of the reference's pickled UMAP metrics
+# ---------------------------------------------------------------------------
+
+_REF_BLOCKS_10B = ((0, 32), (32, 55), (55, 75), (75, 89), (89, 95))
+_REF_BLOCKS_7B = ((0, 23), (23, 43), (43, 57), (57, 63))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _ref_gated_cosine_matrix(x, y, blocks, check_slice, gate_bits,
+                             scale, disagree_mode):
+    """Matrix transcription of the reference's scalar numba metrics
+    (train_reference.py:224-1056), preserving each variant's exact branch
+    structure:
+
+      * pairs whose check-bit vectors agree (sum|diff| < 0.01) contribute the
+        per-block cosine distances, with block b zeroed when x's gate bit
+        ``gate_bits[b]`` is 0 (gate_bits[b] is None for ungated blocks);
+      * disagreeing pairs get ``disagree_mode``:
+          - "one": constant 1.0 (the *_7b / *_v2 family, :990/:1071);
+          - "ungated_deriv1": ungated block distances plus a constant 1.0
+            derivative term, averaged over n_blocks+1
+            (channel_cosine_intensity_violet_derivative_v2, :663-731 — the
+            [95:126] derivative slice itself is never read by the metric);
+      * the mean is scaled by ``scale`` (0.5 for the *_v2 7-bit variants).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    dists = [
+        _block_cosine_dist(x[:, lo:hi], y[:, lo:hi]) for (lo, hi) in blocks
+    ]
+    clo, chi = check_slice
+    xc = x[:, clo:chi]
+    yc = y[:, clo:chi]
+    diff = (
+        jnp.sum(xc, axis=1)[:, None]
+        + jnp.sum(yc, axis=1)[None, :]
+        - 2.0 * jnp.dot(xc, yc.T, preferred_element_type=jnp.float32)
+    )
+    agree = jnp.abs(diff) < 0.01
+    gated = sum(
+        d if g is None else d * xc[:, g][:, None]
+        for d, g in zip(dists, gate_bits)
+    )
+    if disagree_mode == "ungated_deriv1":
+        # derivative term: 0 on agreement, 1 on disagreement; /(n_blocks+1)
+        n = len(blocks) + 1
+        agree_val = gated / n
+        disagree_val = (sum(dists) + 1.0) / n
+    else:  # "one"
+        agree_val = gated / len(blocks)
+        disagree_val = jnp.float32(1.0)
+    # the reference's 0.5 factor scales only the agree branch
+    # (train_reference.py:1067: cos_dist = 0.5*(...)/4; else: cos_dist = 1)
+    return jnp.where(agree, scale * agree_val, disagree_val)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _ref_chi_matrix(x, y, check_slice, denom):
+    """channel_chi_intensity_7b (train_reference.py:1169): chi-square over
+    the raw channels / 63, gated to 1.0 on check disagreement."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    clo, chi = check_slice
+    xb = x[:, None, :clo]
+    yb = y[None, :, :clo]
+    d = jnp.sum((xb - yb) ** 2 / jnp.maximum(xb + yb, 1e-30), axis=-1) / denom
+    xc, yc = x[:, clo:chi], y[:, clo:chi]
+    diff = (jnp.sum(xc, axis=1)[:, None] + jnp.sum(yc, axis=1)[None, :]
+            - 2.0 * jnp.dot(xc, yc.T, preferred_element_type=jnp.float32))
+    return jnp.where(jnp.abs(diff) < 0.01, d, 1.0)
+
+
+def reference_metric_matrix(name: str):
+    """distance_fn(q, train) -> (Q, N) matching the reference numba metric
+    recorded in a pickled UMAP artifact, for every metric the reference
+    actually fits UMAPs with (train_reference.py:1415/1457/1511/1671/2109).
+
+    Raises KeyError for unknown names — silently substituting euclidean for
+    a gated spectral metric reorders neighbors and corrupts barcode calls.
+    """
+    B10, B7 = _REF_BLOCKS_10B, _REF_BLOCKS_7B
+    table = {
+        # :224 — blocks 1-3 gated by x[95..97], blocks 4-5 ungated; the
+        # disagree branch leaves cos_dist undefined (a latent reference bug,
+        # :386) — resolved to the family's consistent value, 1.0.
+        "channel_cosine_intensity": lambda q, r: _ref_gated_cosine_matrix(
+            q, r, B10, (95, 100), (0, 1, 2, None, None), 1.0, "one"),
+        # :569 — all 5 blocks gated by x[126..130]; 6-bit check [126:132];
+        # the derivative block's term is 0/1 by agreement, mean over 6.
+        "channel_cosine_intensity_violet_derivative_v2":
+            lambda q, r: _ref_gated_cosine_matrix(
+                q, r, B10, (126, 132), (0, 1, 2, 3, 4), 1.0,
+                "ungated_deriv1"),
+        # :913 — 4 gated blocks, /4, disagree -> 1.
+        "channel_cosine_intensity_7b": lambda q, r: _ref_gated_cosine_matrix(
+            q, r, B7, (63, 67), (0, 1, 2, 3), 1.0, "one"),
+        # :994 — same with a 0.5 scale, so agreeing pairs always beat
+        # disagreeing ones.
+        "channel_cosine_intensity_7b_v2":
+            lambda q, r: _ref_gated_cosine_matrix(
+                q, r, B7, (63, 67), (0, 1, 2, 3), 0.5, "one"),
+        # :1181 — ungated mean of the 5 block cosines (no check columns).
+        "channel_cosine_intensity_normal":
+            lambda q, r: block_cosine_distance_matrix(q, r, B10, None),
+        # :1169 — chi-square over 63 channels, check-gated.
+        "channel_chi_intensity_7b":
+            lambda q, r: _ref_chi_matrix(q, r, (63, 67), 63.0),
+        # :1276 — plain Pearson correlation distance.
+        "channel_correlation": correlation_distance_matrix,
+    }
+    return table[name]
+
+
 def metric_for_layout(layout, violet_derivative: bool = False):
     """(blocks, check_slice) for the gated metric of a channel layout.
 

@@ -455,12 +455,14 @@ def train_reabsorption_biofilm_7b(reference_folder, fret_folder=None,
                                   save=True, code_subset=None):
     """Fixed-distance reabsorption variant, no excitation floor / negatives
     (train_reference.py:1756-1795; "_limited" :1797 adds code_subset)."""
-    tag = "" if code_subset is None else "limited_"
+    # the "_limited" variant's artifact carries a select_DSGN0524 infix
+    # (train_reference.py:1836), which downstream loaders key on
+    tag = "" if code_subset is None else "select_DSGN0524_"
     return train_fret_biofilm_7b(
         reference_folder, fret_folder, spc, cfg, seed, save,
         code_subset=code_subset, fret_distance=5.0,
         excitation_adjust=False, negatives=False,
-        artifact=f"reference_simulate_{spc}_{tag}interaction_simulated_"
+        artifact=f"reference_simulate_{spc}_interaction_simulated_{tag}"
                  "umap_transform_biofilm_7b.npz")
 
 

@@ -146,7 +146,11 @@ def load_umap_pickle(path: str) -> UmapModel:
         # umap's fitted defaults for min_dist=0.1, spread=1.0
         a, b = 1.577, 0.8951
     metric = _get(obj, "metric", default="euclidean")
-    metric = getattr(metric, "__name__", metric)  # numba stub -> its name
+    if not isinstance(metric, str):
+        # numba dispatchers pickle by reference; the permissive unpickler
+        # turns them into stub classes/instances named after the function
+        metric = getattr(metric, "__name__", None) \
+            or getattr(type(metric), "__name__", "euclidean")
     return UmapModel(
         raw_data=np.asarray(raw, np.float32),
         embedding=np.asarray(emb, np.float32),
@@ -284,6 +288,30 @@ def umap_transform(model: UmapModel, query,
 # ---------------------------------------------------------------------------
 
 
+def resolve_metric_fn(model: UmapModel, distance_fn: Callable | None):
+    """Distance function for a loaded UMAP artifact.
+
+    The reference fits its UMAPs under custom gated block-cosine numba
+    metrics (train_reference.py:1415/1457/1511) — scoring a real artifact
+    under euclidean silently reorders neighbors and corrupts barcode calls,
+    so an unknown recorded metric is an error, not a fallback."""
+    if distance_fn is not None:
+        return distance_fn
+    name = model.metric
+    if name in ("euclidean", "l2"):
+        return None
+    from hiprfish_tpu.models import metrics
+
+    try:
+        return metrics.reference_metric_matrix(name)
+    except KeyError:
+        raise ValueError(
+            f"UMAP artifact was fitted with metric {name!r}, which has no "
+            f"TPU matrix equivalent (models/metrics.py:"
+            f"reference_metric_matrix). Pass distance_fn= explicitly to "
+            f"override.") from None
+
+
 class LegacyUmapClassifier(NamedTuple):
     """The reference's pickled classifier stack, TPU-scored.
 
@@ -351,7 +379,7 @@ def load_legacy_umap_stack(transform_path: str,
         # 10-bit + violet-derivative layout (image_classification.py:49-54)
         blocks = [(0, 32), (32, 55), (55, 75), (75, 89), (89, 95), (95, 126)]
     return LegacyUmapClassifier(umap_model, svc, checks, tuple(blocks),
-                                distance_fn)
+                                resolve_metric_fn(umap_model, distance_fn))
 
 
 def load_legacy_umap_stack_7b(transform_path: str,
@@ -380,7 +408,8 @@ def load_legacy_umap_stack_7b(transform_path: str,
         checks = [checks]
     blocks = [(0, 23), (23, 43), (43, 57), (57, 63)]
     return LegacyUmapClassifier(
-        umap_model, svc, checks, tuple(blocks), distance_fn,
+        umap_model, svc, checks, tuple(blocks),
+        resolve_metric_fn(umap_model, distance_fn),
         scaler_mean=np.asarray(_get(scaler, "mean_"), np.float32),
         scaler_scale=np.asarray(_get(scaler, "scale_"), np.float32),
         n_base=63)

@@ -58,7 +58,7 @@ def shifted(arr, off, fill):
 
 
 def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
-                  reverse: bool) -> jax.Array:
+                  reverse: bool, max_run: int | None = None) -> jax.Array:
     """Propagate the running min of ``values`` along contiguous True-runs of
     ``mask`` along ``axis`` — a segmented min-scan via lax.associative_scan.
 
@@ -66,6 +66,12 @@ def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
     such functions is (gA & gB, gB ? min(cA, cB) : cB), which is associative,
     so the whole propagation is one log-depth scan (no gathers — the
     TPU-friendly formulation of flood labeling).
+
+    ``max_run`` caps the doubling distance: when the caller knows every
+    mask run is shorter (components bounded by a tile margin / cell size),
+    the tail doubling steps — the majority at image scale, each a full
+    HBM pass — are provably idle. A longer-than-cap run only costs extra
+    fixpoint iterations in the calling while_loop, never correctness.
     """
     # Gate between an element and its predecessor in scan direction.
     off = [0] * mask.ndim
@@ -78,6 +84,8 @@ def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
     # compile time blows up at megapixel scales; this unrolled form compiles
     # fast and runs as ~2*log2(n) fused passes.)
     n = values.shape[axis]
+    if max_run is not None:
+        n = min(n, max_run)
     g, v = gate, values
     d = 1
     while d < n:
@@ -92,14 +100,16 @@ def _run_min_scan(values: jax.Array, mask: jax.Array, axis: int,
 
 
 def _run_or_scan(reach: jax.Array, mask: jax.Array, axis: int,
-                 reverse: bool) -> jax.Array:
+                 reverse: bool, max_run: int | None = None) -> jax.Array:
     """Propagate True along contiguous mask runs (segmented OR-scan via
     Hillis-Steele doubling on bool vectors — 4x narrower than the int32
-    min-scan)."""
+    min-scan). ``max_run`` as in _run_min_scan."""
     off = [0] * mask.ndim
     off[axis] = -1 if reverse else 1
     gate = mask & shifted(mask, tuple(off), False)
     n = reach.shape[axis]
+    if max_run is not None:
+        n = min(n, max_run)
     g, r = gate, reach
     d = 1
     while d < n:
@@ -159,7 +169,9 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 1,
 def _flood_reach_flat(seeds: jax.Array, mask: jax.Array,
                       connectivity: int = 1, max_iters: int = 512):
     ndim = mask.ndim
-    shifts = _neighbor_shifts(ndim, connectivity)
+    # face shifts are the or-scans' d=1 step; only diagonals do work here
+    shifts = [s for s in _neighbor_shifts(ndim, connectivity)
+              if sum(abs(o) for o in s) >= 2]
     reach0 = seeds & mask
 
     def body(state):
@@ -193,8 +205,9 @@ def border_mask(shape) -> jax.Array:
     return border
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def label(mask: jax.Array, connectivity: int | None = None,
+          max_iters: int = 512, max_run: int | None = None):
     """Label connected components of a boolean mask.
 
     connectivity follows skimage.measure.label semantics: 1 = faces only,
@@ -202,16 +215,22 @@ def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512
     positive ids (use relabel_sequential for 1..n ids).
 
     Algorithm: iterative min-label propagation where each round does one
-    neighbor-min step (mixes across rows/columns/diagonals) followed by
-    segmented min-scans along every axis in both directions (each scan
-    propagates labels across an entire straight run at once). Rounds repeat
-    under a while_loop until fixpoint — a handful of rounds for typical
-    masks, all dense vector work with zero gathers.
+    neighbor-min step over the DIAGONAL shifts (face-adjacent propagation
+    is exactly the d=1 step of the axis scans, so face shifts are dead
+    passes) followed by segmented min-scans along every axis in both
+    directions (each scan propagates labels across a straight run at once).
+    Rounds repeat under a while_loop until fixpoint — a handful of rounds
+    for typical masks, all dense vector work with zero gathers.
+
+    ``max_run`` (static): optional upper bound on mask run lengths, capping
+    the scans' doubling distance (see _run_min_scan) — pass the tile margin
+    / max structure size when known; convergence is checked regardless.
     """
     ndim = mask.ndim
     if connectivity is None:
         connectivity = ndim
-    shifts = _neighbor_shifts(ndim, connectivity)
+    shifts = [s for s in _neighbor_shifts(ndim, connectivity)
+              if sum(abs(o) for o in s) >= 2]
     size = mask.size
     lin = (jnp.arange(size, dtype=jnp.int32) + 1).reshape(mask.shape)
     lbl0 = jnp.where(mask, lin, _INF)
@@ -224,8 +243,8 @@ def label(mask: jax.Array, connectivity: int | None = None, max_iters: int = 512
             nb = jnp.minimum(nb, shifted(cur, off, _INF))
         cur = jnp.where(mask, jnp.minimum(cur, nb), _INF)
         for axis in range(ndim):
-            cur = _run_min_scan(cur, mask, axis, False)
-            cur = _run_min_scan(cur, mask, axis, True)
+            cur = _run_min_scan(cur, mask, axis, False, max_run)
+            cur = _run_min_scan(cur, mask, axis, True, max_run)
         return cur, jnp.any(cur != lbl), it + 1
 
     def cond(state):

@@ -51,14 +51,17 @@ _INF = 2**30
 
 
 def _run_max_scan(values: jax.Array, mask: jax.Array, axis: int,
-                  reverse: bool) -> jax.Array:
+                  reverse: bool, max_run: int | None = None) -> jax.Array:
     """Propagate the running max of ``values`` along contiguous True-runs of
-    ``mask`` (mirror of labeling._run_min_scan; fill/identity is 0)."""
+    ``mask`` (mirror of labeling._run_min_scan; fill/identity is 0).
+    ``max_run`` caps the doubling distance as in labeling._run_min_scan."""
     off = [0] * mask.ndim
     off[axis] = -1 if reverse else 1
     prev_mask = shifted(mask, tuple(off), False)
     gate = mask & prev_mask
     n = values.shape[axis]
+    if max_run is not None:
+        n = min(n, max_run)
     g, v = gate, values
     d = 1
     while d < n:
@@ -72,9 +75,9 @@ def _run_max_scan(values: jax.Array, mask: jax.Array, axis: int,
     return jnp.where(mask, v, values)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def rank_labels(labels: jax.Array, connectivity: int = 2,
-                max_iters: int = 512):
+                max_iters: int = 512, max_run: int | None = None):
     """Sequential 1..n relabel of a min-linear-index label image, no gathers.
 
     ``labels`` must come from ops.labeling.label (or any labeling where each
@@ -95,8 +98,10 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
     # Flood each representative's rank over its component. Distinct
     # components are never within the connectivity neighborhood of each
     # other (else they would be one component), so mask-gated propagation
-    # cannot mix ranks across components.
-    shifts = _neighbor_shifts(ndim, connectivity)
+    # cannot mix ranks across components. Face shifts are the axis scans'
+    # d=1 step — only diagonal shifts do work here (see labeling.label).
+    shifts = [s for s in _neighbor_shifts(ndim, connectivity)
+              if sum(abs(o) for o in s) >= 2]
 
     def body(state):
         r, _, it = state
@@ -106,8 +111,8 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
             nb = jnp.maximum(nb, shifted(cur, off, jnp.int32(0)))
         cur = jnp.where(mask, jnp.maximum(cur, nb), 0)
         for axis in range(ndim):
-            cur = _run_max_scan(cur, mask, axis, False)
-            cur = _run_max_scan(cur, mask, axis, True)
+            cur = _run_max_scan(cur, mask, axis, False, max_run)
+            cur = _run_max_scan(cur, mask, axis, True, max_run)
         return cur, jnp.any(cur != r), it + 1
 
     def cond(state):

@@ -119,10 +119,14 @@ def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
             for li in range(len(stacks[0]))
         )
         outs = run_with_oom_backoff(batched)
-        sub = outs[0].n_cells.shape[0]
+        # chunks may be heterogeneous (one half can succeed at b/2 while the
+        # other splits again under fragmentation-dependent OOM) — map global
+        # row -> (chunk, local row) by consuming each chunk's actual size
+        row_map = [(out, oi) for out in outs
+                   for oi in range(out.n_cells.shape[0])]
+        assert len(row_map) == batch, (len(row_map), batch)
         for bi, name in enumerate(names):
-            out = outs[bi // sub]
-            oi = bi % sub
+            out, oi = row_map[bi]
             n = int(out.n_cells[oi])
             seg = np.asarray(out.segmentation[oi])
             avgint = np.asarray(out.avgint[oi])[1:n + 1]

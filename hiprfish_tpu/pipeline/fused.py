@@ -62,6 +62,11 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     parts = [stack[0]]
     for i in range(1, len(stack)):
         s = reg.register_translation(cref, _crop(projections[i]))
+        if cfg.clamp_shift:
+            # backstop for a bad correlation on the sparse centered crop
+            # (the reference clamps the ecoli path the same way,
+            # spectral_image_measurement.py:54-57)
+            s = reg.clamp_shift(s, cfg.max_shift)
         shifted, _ = reg.apply_shift_2d(stack[i], s)
         parts.append(shifted)
     registered = jnp.concatenate(parts, axis=2)

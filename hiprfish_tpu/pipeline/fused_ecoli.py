@@ -64,7 +64,22 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     interior = km.brightest_cluster_mask(image_cn, 3, cfg.kmeans_iters)
     interior = segstats.remove_small_holes_fast(interior, 64)
     interior = morph.binary_opening(interior)
-    cell_sm = segstats.remove_small_objects_fast(interior, 50, 2)
+    # Single CCL+rank for small-object filter AND component ids: the
+    # reference's remove_small_objects(_, 50) -> label sequence
+    # (spectral_image_measurement.py:97-98) ran as two full labeling
+    # rounds; labeling the opened mask once and zeroing sub-50 ids from
+    # the stats table is equivalent (dropped ids leave gaps, which every
+    # downstream per-id table tolerates) and saves a CCL+rank.
+    pre_segments = 2 * max_cells
+    comp0, _ = segstats.rank_labels(
+        lab.label(interior, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
+    comp0 = jnp.minimum(comp0, pre_segments - 1)
+    cstats = segstats.label_stats(comp0, None, pre_segments)
+    keep_tbl = jnp.where(cstats.counts >= 50,
+                         jnp.arange(pre_segments, dtype=jnp.float32),
+                         0.0).at[0].set(0.0)
+    comp = segstats.label_lookup(comp0, keep_tbl).astype(jnp.int32)
+    cell_sm = comp > 0
 
     # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
     # survives k erosions iff depth(p) > k, so the per-iteration "component
@@ -82,11 +97,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     for _ in range(kmax - 1):
         m = morph.binary_erosion(m) & cell_sm
         depth = depth + m
-    comp, _ = segstats.rank_labels(
-        lab.label(cell_sm, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
-    comp = jnp.minimum(comp, max_cells - 1)
     depth_c = jnp.clip(depth, 0, kmax)
-    dstats = segstats.label_stats(comp, None, max_cells, aux=depth_c,
+    dstats = segstats.label_stats(comp, None, pre_segments, aux=depth_c,
                                   aux_classes=kmax + 1)
     hist = dstats.aux_hist                                     # (C, kmax+1)
     # area_k[c, k] = component c's area after k erosions = #pixels depth > k.
@@ -94,7 +106,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     small = area_k < cfg.seed_area_max
     k_seed = jnp.argmax(small, axis=1).astype(jnp.int32)       # first such k
     seed_area = jnp.take_along_axis(area_k, k_seed[:, None], axis=1)[:, 0]
-    valid_seed = (seed_area >= cfg.seed_min_size) & (jnp.arange(max_cells) > 0)
+    valid_seed = (seed_area >= cfg.seed_min_size) \
+        & (jnp.arange(pre_segments) > 0)
     # Single windowed broadcast: invalid/background slots get a sentinel
     # depth bound no pixel exceeds.
     ktbl = jnp.where(valid_seed, k_seed, kmax + 1).astype(jnp.float32)
@@ -102,14 +115,23 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp > 0) & cell_sm
     markers, _ = segstats.rank_labels(
         lab.label(seed_mask, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
-    pre_segments = 2 * max_cells
     markers = jnp.minimum(markers, pre_segments - 1)
 
     seg_ws = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
 
-    # Size/border filter + shape gate + post-erosion measurement, all from
-    # two stats passes over band-local ids.
-    s1 = segstats.label_stats(seg_ws, None, pre_segments, moments=True)
+    # Size/border filter + shape gate + post-erosion measurement, all in ONE
+    # stats pass: the double-eroded label image keeps its parent's ids
+    # (eroded(p) = seg_ws(p) where it survives), so the eroded spectral sums
+    # and eroded counts are just extra masked channels of the SAME windowed
+    # one-hot over seg_ws — the second stats pass (a full one-hot rebuild,
+    # ~20 ms at 2000^2 x 95 ch) collapses into added matmul columns.
+    eroded = _erode_labels_twice(seg_ws)
+    mask_e = (eroded > 0).astype(jnp.float32)
+    img_aug = jnp.concatenate(
+        [registered * mask_e[:, :, None], mask_e[:, :, None]], axis=2)
+    s1 = segstats.label_stats(seg_ws, img_aug, pre_segments, moments=True)
+    counts_e = s1.sums[:, -1]
+    sums_e = s1.sums[:, :-1]
     keep = (s1.counts >= cfg.cell_min_size) & (s1.border_hits == 0)
     n = jnp.maximum(s1.counts, 1.0)
     rbar = s1.moments[:, 0] / n
@@ -123,17 +145,14 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     keep = keep & (minor >= cfg.minor_axis_min) & (minor <= cfg.minor_axis_max)
     keep = keep & (s1.counts > 0)
     keep = keep.at[0].set(False)
-
-    eroded = _erode_labels_twice(seg_ws)
-    s2 = segstats.label_stats(eroded, registered, pre_segments)
-    keep = keep & (s2.counts > 0)   # cells fully erased by the double
+    keep = keep & (counts_e > 0)    # cells fully erased by the double
     #                                 erosion vanish, exactly as the
     #                                 reference's relabel of the eroded image
     final = jnp.cumsum(keep.astype(jnp.int32))
     n_cells = final[-1]
     remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
     seg_final = segstats.label_lookup(eroded, remap).astype(jnp.int32)
-    means = s2.sums / jnp.maximum(s2.counts, 1.0)[:, None]
+    means = sums_e / jnp.maximum(counts_e, 1.0)[:, None]
     avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
         .at[remap].set(means)
     avgint = avgint.at[0].set(0.0)

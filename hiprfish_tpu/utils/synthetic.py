@@ -66,6 +66,7 @@ def make_fov(
     brightness: float = 1.0,
     noise: float = 0.01,
     grid_jitter: float = 0.25,
+    spacing: float | None = None,
 ):
     """Generate per-laser images of a synthetic FOV.
 
@@ -74,6 +75,11 @@ def make_fov(
         jittered grid.
       laser_shifts: optional (n_lasers, 2) integer shifts applied per laser to
         exercise registration.
+      spacing: optional grid pitch in pixels. Default spreads the grid over
+        the whole FOV (sparse, non-touching). Setting it near the cell
+        diameter packs the cells into a dense centered cluster where
+        neighbors touch — the production-density regime watershed parity
+        must be demonstrated in.
 
     Returns dict with:
       stack: list of per-laser (H, W, C_l) float32 arrays
@@ -87,8 +93,15 @@ def make_fov(
     spectra = fluorophore_spectra(layout)
     grid = int(np.ceil(np.sqrt(n)))
     margin = max(cell_axes) + 12
-    ys = np.linspace(margin, h - margin, grid)
-    xs = np.linspace(margin, w - margin, grid)
+    if spacing is None:
+        ys = np.linspace(margin, h - margin, grid)
+        xs = np.linspace(margin, w - margin, grid)
+    else:
+        extent = spacing * (grid - 1)
+        y0 = max(margin, (h - extent) / 2)
+        x0 = max(margin, (w - extent) / 2)
+        ys = y0 + spacing * np.arange(grid)
+        xs = x0 + spacing * np.arange(grid)
     jitter_px = 4.0
     yy, xx = np.mgrid[:h, :w]
 

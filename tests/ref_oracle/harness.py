@@ -162,7 +162,12 @@ def classification_parity(bundle: dict, fov: dict, barcodes,
             calls_ref_clean[bundle["ref_row"][a]] == calls_tpu[b - 1])
     return {
         "same_spectra_agreement": same_spectra_agree,
+        "same_spectra_n_agree": int(np.sum(
+            calls_ref_clean == calls_tpu_on_ref)) if len(norm_ref) else 0,
+        "same_spectra_n": int(len(norm_ref)),
         "e2e_agreement": float(np.mean(agree)) if agree else 0.0,
+        "e2e_n_agree": int(np.sum(agree)),
+        "e2e_n": len(agree),
         "n_compared": len(agree),
         "ref_truth_accuracy": acc_ref,
         "tpu_truth_accuracy": acc_tpu,

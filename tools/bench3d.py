@@ -182,6 +182,54 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     correct = (pred[labs][valid] == truth_class[labs][valid])
     accuracy = float(correct.mean()) if valid.any() else 0.0
 
+    if os.environ.get("BENCH_3D_DIAG"):
+        # Over-detection forensics: majority TRUTH CELL (not just code) per
+        # found label -> duplicate counts, plus each label's axis-0 centroid
+        # -> distance to the nearest tile boundary (240-px tiling of
+        # segment_3d_tiled). Duplicates clustered at boundaries indict the
+        # union-find merge; uniform duplicates indict seeding.
+        from hiprfish_tpu.ops import segstats as _ss
+
+        n_truth = spec.n_cells + 1
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def tid_chunk(acc, seg_full, z0, zc):
+            truth, _, _ = s3.truth_chunk(spec, len(codes), z0, zc)
+            seg_c = jax.lax.dynamic_slice_in_dim(seg_full, z0, zc, 2)
+            flat = jnp.where(truth > 0, seg_c * n_truth + truth,
+                             0).reshape(-1)
+            return acc + jnp.bincount(
+                flat, length=max_cells * n_truth).astype(jnp.int32)
+
+        acc_t = jnp.zeros((max_cells * n_truth,), jnp.int32)
+        for z0 in range(0, shape[2], 8):
+            zc = min(8, shape[2] - z0)
+            acc_t = tid_chunk(acc_t, seg, z0, zc)
+        ct = np.asarray(acc_t).reshape(max_cells, n_truth).copy()
+        ct[0] = 0
+        ct[:, 0] = 0
+        maj_truth = ct.argmax(axis=1)
+        has_t = ct.sum(axis=1) > 0
+        st = _ss.label_stats(seg, None, max_cells, moments=True)
+        cx = np.asarray(st.moments[:, 0]) / np.maximum(
+            np.asarray(st.counts), 1.0)
+        labs_d = np.arange(1, min(n_found, max_cells - 1) + 1)
+        owners = maj_truth[labs_d]
+        from collections import Counter
+        cnt = Counter(owners[has_t[labs_d]])
+        dups = [lab for lab in labs_d
+                if has_t[lab] and cnt[maj_truth[lab]] > 1]
+        noise = [lab for lab in labs_d if not has_t[lab]]
+        bdist = [min(abs(cx[lab] - b) for b in range(240, shape[0], 240))
+                 for lab in dups]
+        log(f"DIAG: unique truth covered={len(cnt)}, dup labels={len(dups)},"
+            f" noise labels={len(noise)}")
+        log(f"DIAG: dup boundary-distance percentiles "
+            f"{np.percentile(bdist, [10, 50, 90]).round(1).tolist() if bdist else []}"
+            f" (uniform would be ~[12, 60, 108])")
+        log(f"DIAG: noise label sizes "
+            f"{np.asarray(st.counts)[noise][:20].astype(int).tolist()}")
+
     total_s = sum(timings.values())
     mvox = shape[0] * shape[1] * shape[2] / 1e6
     result = {

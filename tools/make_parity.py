@@ -1,10 +1,20 @@
 """Generate PARITY_r0N.json: the reference-parity evidence file.
 
 Runs the reference oracle (tests/ref_oracle) and the TPU pipelines on a
-sweep of shared synthetic FOVs — 5 per pipeline family — and records
-segmentation parity (cell counts, IoU, per-cell spectrum agreement) and
-classification parity (same-spectra and end-to-end barcode agreement vs the
-0.5% BASELINE.md budget, plus each side's accuracy against planted truth).
+sweep of shared synthetic FOVs at PRODUCTION scale — per family, 5 FOVs of
+2000x2000 px with ~441 densely packed (touching) cells each, including one
+high-noise scene and one heavily mis-registered scene — and records
+segmentation parity (cell counts, IoU distribution, per-cell spectrum
+agreement) and classification parity (same-spectra and end-to-end barcode
+agreement vs the 0.5% BASELINE.md budget, with a Wilson binomial CI so the
+budget is statistically resolvable at N >= 2000 cells per family).
+
+Scene grid matches the reference's production inputs:
+  fov 0-2: nominal noise, small stage drift
+    (multispecies_spectral_image_measurement.py:78-159)
+  fov 3:   high noise (5x) — low-SNR plates
+  fov 4:   mis-registered: per-laser shifts near the +/-15 px clamp
+    (spectral_image_measurement.py:54-57)
 
 Usage: JAX_PLATFORMS=cpu python tools/make_parity.py [out.json]
 """
@@ -48,7 +58,10 @@ from ref_oracle import harness  # noqa: E402
 CODES_7B = [1, 9, 65, 127, 34, 88, 5, 96, 18, 73, 22, 41, 100, 55, 3, 77]
 CODES_10B = [5, 37, 515, 1023, 96, 640, 17, 260, 770, 129, 33, 514, 68,
              272, 9, 48]
-N_FOVS = 5
+N_FOVS = int(os.environ.get("PARITY_FOVS", "5"))
+FOV_SIZE = int(os.environ.get("PARITY_SIZE", "2000"))
+GRID = int(os.environ.get("PARITY_GRID", "21"))   # cells per side (441 total)
+MAX_CELLS = 1024
 
 
 def embed_10b(enc7: int) -> int:
@@ -65,44 +78,93 @@ def agg(dicts, key):
             "max": float(np.max(vals))}
 
 
-def run_family(name, layout, codes, shifts, cell_axes, ref_clf, tpu_clf,
-               barcodes_arg):
-    seg_metrics, clf_metrics = [], []
+def wilson_ci(successes: int, n: int, z: float = 1.96):
+    """Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = successes / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (float(center - half), float(center + half))
+
+
+def fov_scene(layout, codes, i, shifts, cell_axes, spacing):
+    """Scene i of the family sweep: 0-2 nominal, 3 high-noise, 4
+    mis-registered near the clamp limit."""
+    noise = 0.01
+    fov_shifts = list(shifts)
+    if i == 3:
+        noise = 0.05
+    elif i == 4:
+        big = [(0, 0), (11, -9), (-12, 7), (8, 12), (-10, -11)]
+        fov_shifts = big[: len(shifts)]
+    return synthetic.make_fov(
+        layout, codes, shape=(FOV_SIZE, FOV_SIZE), seed=100 + i,
+        laser_shifts=fov_shifts, cell_axes=cell_axes, noise=noise,
+        spacing=spacing)
+
+
+def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
+               spacing):
+    codes = [base_codes[i % len(base_codes)] for i in range(GRID * GRID)]
+    seg_metrics, clf_metrics, ious_all = [], [], []
+    agree_e2e = agree_ss = n_e2e = n_ss = 0
     for i in range(N_FOVS):
-        fov = synthetic.make_fov(
-            layout, codes, shape=(256, 256), seed=100 + i,
-            laser_shifts=shifts, cell_axes=cell_axes)
+        fov = fov_scene(layout, codes, i, shifts, cell_axes, spacing)
         t0 = time.time()
         m, bundle = harness.segmentation_parity(
-            fov, "ecoli" if name == "ecoli" else "multispecies")
-        c = harness.classification_parity(bundle, fov, barcodes_arg,
+            fov, "ecoli" if name == "ecoli" else "multispecies",
+            max_cells=MAX_CELLS)
+        c = harness.classification_parity(bundle, fov, codes,
                                           ref_clf, tpu_clf)
         print(f"[{name} fov {i}] {m['matched']}/{m['n_cells_ref']} matched, "
               f"iou={m['mean_iou']:.3f}, same-spectra "
               f"agree={c['same_spectra_agreement']:.4f}, "
               f"e2e={c['e2e_agreement']:.4f} ({time.time()-t0:.0f}s)",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         seg_metrics.append(m)
         clf_metrics.append(c)
+        ious_all.extend(p[2] for p in bundle["pairs"])
+        agree_ss += c["same_spectra_n_agree"]
+        n_ss += c["same_spectra_n"]
+        agree_e2e += c["e2e_n_agree"]
+        n_e2e += c["e2e_n"]
     total_cells = int(sum(m["n_cells_ref"] for m in seg_metrics))
+    qs = [0, 1, 5, 10, 25, 50, 75, 90, 100]
     return {
         "n_fovs": N_FOVS,
+        "fov_size": FOV_SIZE,
+        "cells_per_fov": GRID * GRID,
+        "scenes": {"nominal": list(range(min(3, N_FOVS))),
+                   "high_noise": [3] if N_FOVS > 3 else [],
+                   "misregistered": [4] if N_FOVS > 4 else []},
         "total_cells_ref": total_cells,
         "total_cells_tpu": int(sum(m["n_cells_tpu"] for m in seg_metrics)),
         "matched_cells": int(sum(m["matched"] for m in seg_metrics)),
         "mean_iou": agg(seg_metrics, "mean_iou"),
         "min_iou": agg(seg_metrics, "min_iou"),
+        "iou_percentiles": {str(q): float(np.percentile(ious_all, q))
+                            for q in qs} if ious_all else {},
         "spectrum_cos": agg(seg_metrics, "mean_spectrum_cos"),
         "same_spectra_barcode_agreement": agg(
             clf_metrics, "same_spectra_agreement"),
+        "same_spectra_total": {
+            "agree": int(agree_ss), "n": int(n_ss),
+            "rate": float(agree_ss / max(n_ss, 1)),
+            "wilson_95ci": wilson_ci(agree_ss, n_ss)},
         "e2e_barcode_agreement": agg(clf_metrics, "e2e_agreement"),
+        "e2e_total": {
+            "agree": int(agree_e2e), "n": int(n_e2e),
+            "rate": float(agree_e2e / max(n_e2e, 1)),
+            "wilson_95ci": wilson_ci(agree_e2e, n_e2e)},
         "ref_truth_accuracy": agg(clf_metrics, "ref_truth_accuracy"),
         "tpu_truth_accuracy": agg(clf_metrics, "tpu_truth_accuracy"),
     }
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r02.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r03.json"
     t_start = time.time()
 
     tmp7 = tempfile.mkdtemp()
@@ -126,33 +188,35 @@ def main():
 
     result = {
         "description": (
-            "Reference-parity evidence: TPU pipelines vs a line-for-line "
-            "oracle transcription of the reference (tests/ref_oracle; same "
-            "sklearn KMeans/SVC calls, skimage-semantics morphology/"
-            "watershed, pyx-derived stencil; UMAP+SVC stage replaced by "
-            "exact kNN under the reference's own gated metric — umap-learn/"
-            "skimage/numba/Cython are not installed and may not be "
-            "installed here). Budget: barcode agreement >= 99.5% "
-            "(BASELINE.md)."),
+            "Reference-parity evidence at production scale: TPU pipelines "
+            "vs a line-for-line oracle transcription of the reference "
+            "(tests/ref_oracle; same sklearn KMeans/SVC calls, skimage-"
+            "semantics morphology/watershed, pyx-derived stencil; UMAP+SVC "
+            "stage replaced by exact kNN under the reference's own gated "
+            "metric — umap-learn/skimage/numba/Cython are not installed "
+            "and may not be installed here). Per family: 5 FOVs x 2000^2 "
+            "px x 441 densely packed touching cells (incl. one high-noise "
+            "and one near-clamp mis-registered scene). Budget: barcode "
+            "agreement >= 99.5% (BASELINE.md), now resolvable: the Wilson "
+            "95% CI half-width at N~2000 is ~0.4%."),
+        # spacing 27 px vs 24/28 px cell extents: neighboring cells touch
         "multispecies_7b": run_family(
             "multispecies", SEVEN_BIT, CODES_7B,
             [(0, 0), (1, 2), (-1, 0), (2, -2)], (7.0, 12.0),
-            ref7, tpu7, CODES_7B),
+            ref7, tpu7, spacing=27.0),
         "ecoli_10b": run_family(
             "ecoli", TEN_BIT, CODES_10B,
             [(0, 0), (2, -1), (0, 3), (-2, 0), (1, 1)], (9.0, 14.0),
-            ref10, tpu10, CODES_10B),
+            ref10, tpu10, spacing=31.0),
         "runtime_s": None,
     }
     budget = 0.995
     result["budget"] = budget
     result["pass"] = bool(
-        result["multispecies_7b"]["e2e_barcode_agreement"]["mean"] >= budget
-        and result["ecoli_10b"]["e2e_barcode_agreement"]["mean"] >= budget
-        and result["multispecies_7b"]["same_spectra_barcode_agreement"]
-        ["mean"] >= budget
-        and result["ecoli_10b"]["same_spectra_barcode_agreement"]
-        ["mean"] >= budget)
+        result["multispecies_7b"]["e2e_total"]["rate"] >= budget
+        and result["ecoli_10b"]["e2e_total"]["rate"] >= budget
+        and result["multispecies_7b"]["same_spectra_total"]["rate"] >= budget
+        and result["ecoli_10b"]["same_spectra_total"]["rate"] >= budget)
     result["runtime_s"] = round(time.time() - t_start, 1)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
