@@ -56,23 +56,44 @@ def register_decompressor(compression: int, fn) -> None:
     _DECOMPRESSORS[compression] = fn
 
 
+def _jpeg_decode_chain(raw: bytes, entry) -> np.ndarray:
+    """JPEG decode: native libjpeg (threaded C++ runtime) with a PIL
+    fallback — both ship in this environment, so compression=1 subblocks
+    always decode (the reference reads them through bioformats' codec,
+    spectral_image_measurement.py:145)."""
+    from hiprfish_tpu.io import czi_native
+
+    arr = czi_native.decode_jpeg(
+        raw, (entry.dim_size("Y"), entry.dim_size("X")))
+    if arr is not None:
+        return arr
+    import io as _io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(_io.BytesIO(raw)))
+
+
 def _autoload_codecs() -> None:
-    """Best-effort wiring of imagecodecs' JPEG / JPEG-XR decoders."""
+    """Wire codec decoders: imagecodecs when importable, then the native
+    libjpeg / PIL chain for JPEG."""
     if _DECOMPRESSORS.get("_auto"):
         return
     _DECOMPRESSORS["_auto"] = True
     try:
         import imagecodecs
     except ImportError:
-        return
-    if getattr(imagecodecs, "jpegxr_decode", None) is not None:
-        _DECOMPRESSORS.setdefault(
-            COMP_JPEGXR, lambda raw, entry: np.asarray(
-                imagecodecs.jpegxr_decode(raw)))
-    if getattr(imagecodecs, "jpeg8_decode", None) is not None:
-        _DECOMPRESSORS.setdefault(
-            COMP_JPEG, lambda raw, entry: np.asarray(
-                imagecodecs.jpeg8_decode(raw)))
+        imagecodecs = None
+    if imagecodecs is not None:
+        if getattr(imagecodecs, "jpegxr_decode", None) is not None:
+            _DECOMPRESSORS.setdefault(
+                COMP_JPEGXR, lambda raw, entry: np.asarray(
+                    imagecodecs.jpegxr_decode(raw)))
+        if getattr(imagecodecs, "jpeg8_decode", None) is not None:
+            _DECOMPRESSORS.setdefault(
+                COMP_JPEG, lambda raw, entry: np.asarray(
+                    imagecodecs.jpeg8_decode(raw)))
+    _DECOMPRESSORS.setdefault(COMP_JPEG, _jpeg_decode_chain)
 
 
 @dataclasses.dataclass

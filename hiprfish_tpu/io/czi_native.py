@@ -63,10 +63,44 @@ def get_library():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.czi_decode_jpeg.restype = ctypes.c_int
+        lib.czi_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
+
+
+def decode_jpeg(raw: bytes, expect_hw: tuple | None = None):
+    """Decode a JPEG byte stream with the native libjpeg path.
+
+    ``expect_hw``: optional (H, W) from the subblock directory — sizes the
+    output buffer exactly. Returns (H, W) or (H, W, C) uint8, or None when
+    the native library is unavailable or the stream fails to parse (caller
+    falls back to PIL via the io/czi.py codec registry)."""
+    import numpy as np
+
+    lib = get_library()
+    if lib is None:
+        return None
+    cap = (expect_hw[0] * expect_hw[1] * 4) if expect_hw else (1 << 26) * 3
+    out = np.empty((cap,), np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    nc = ctypes.c_int32()
+    rc = lib.czi_decode_jpeg(
+        raw, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc))
+    if rc != 0:
+        return None
+    n = h.value * w.value * nc.value
+    arr = out[:n].reshape(h.value, w.value, nc.value).copy()
+    return arr[:, :, 0] if nc.value == 1 else arr
 
 
 def _subblock_data_pos(czi_file, entry) -> tuple:
@@ -99,7 +133,8 @@ def load_plane_native(czi_file, z: int = 0, t: int = 0, series: int = 0,
             continue
         if e.dim_start("S") != series and "S" in e.dimensions:
             continue
-        if e.compression not in (0, 5, 6) or e.pixel_type not in (0, 1, 2, 12):
+        if e.compression not in (0, 1, 5, 6) \
+                or e.pixel_type not in (0, 1, 2, 3, 12):
             return None
         entries.append(e)
     if not entries:

@@ -322,16 +322,24 @@ def train_classifier(
         # cuts the kNN GEMM ~spc/p-fold.
         order = np.argsort(labels, kind="stable")
         feats_s, labels_s = feats[order], labels[order]
-        proto_feats, proto_labels = [], []
-        for ci in range(len(codebook)):
-            rows = feats_s[labels_s == ci]
-            p = min(knn_prototypes_per_class, len(rows))
+        # group boundaries via one reduceat pass (a per-class boolean-mask
+        # loop rescans the full matrix 1023x — measured 13 min on the
+        # 204600x132 10-bit build)
+        _, starts = np.unique(labels_s, return_index=True)
+        ends = np.append(starts[1:], len(labels_s))
+        group_starts, proto_labels = [], []
+        for ci, (st, en) in enumerate(zip(starts, ends)):
+            p = min(knn_prototypes_per_class, en - st)
             if p == 0:
                 continue
-            groups = np.array_split(rows, p)
-            proto_feats.extend(g.mean(axis=0) for g in groups)
-            proto_labels.extend([ci] * p)
-        feats = np.stack(proto_feats).astype(np.float32)
+            bounds = st + np.linspace(0, en - st, p + 1)[:-1].astype(int)
+            group_starts.append(np.unique(bounds))
+            proto_labels.extend([int(labels_s[st])] * len(group_starts[-1]))
+        group_starts = np.concatenate(group_starts)
+        sums = np.add.reduceat(feats_s.astype(np.float64), group_starts,
+                               axis=0)
+        sizes = np.diff(np.append(group_starts, len(labels_s)))
+        feats = (sums / sizes[:, None]).astype(np.float32)
         labels = np.asarray(proto_labels, np.int32)
         # prototype check-bit columns must stay crisp 0/1 (they gate the
         # metric); within a class they are constant, so the mean is exact —

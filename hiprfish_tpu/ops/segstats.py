@@ -130,6 +130,7 @@ class LabelStats(NamedTuple):
     spill: jax.Array         # bool: window overflow -> caller must fall back
     moments: jax.Array | None = None   # (num_segments, 5) [r, c, r^2, c^2, rc]
     aux_hist: jax.Array | None = None  # (num_segments, A) aux-value histogram
+    mask_counts: jax.Array | None = None  # (num_segments,) masked-pixel count
 
 
 def _pick_band_px(size: int, nominal: int = 16384) -> int:
@@ -210,9 +211,10 @@ def _moment_cols(row_f, col_f):
                       row_f * col_f], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
-                          aux: jax.Array | None, num_segments: int,
+                          aux: jax.Array | None,
+                          image_mask: jax.Array | None, num_segments: int,
                           width: int, band_px: int, aux_classes: int,
                           moments: bool):
     shape = labels.shape
@@ -221,7 +223,8 @@ def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
     nchan = 0 if image is None else image.shape[-1]
     nmom = 5 if moments else 0
     naux = aux_classes if aux is not None else 0
-    ncols = 2 + nmom + nchan + naux
+    nmask = 1 if image_mask is not None else 0
+    ncols = 2 + nmom + nchan + naux + nmask
 
     xs = [lab_b, jnp.arange(nb)]
     if image is not None:
@@ -234,6 +237,11 @@ def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
         if pad:
             aux_flat = jnp.pad(aux_flat, (0, pad))
         xs.append(aux_flat.reshape(nb, band_px))
+    if image_mask is not None:
+        m_flat = image_mask.reshape(-1).astype(jnp.float32)
+        if pad:
+            m_flat = jnp.pad(m_flat, (0, pad))
+        xs.append(m_flat.reshape(nb, band_px))
 
     def body(acc, xs):
         it = iter(xs)
@@ -241,10 +249,13 @@ def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
         bidx = next(it)
         ib = next(it) if image is not None else None
         ab = next(it) if aux is not None else None
+        mb = next(it) if image_mask is not None else None
         oh, base, spilled = _window_onehot(lb, width, num_segments)
         # Global pixel coordinates of this band -> border indicator column
         # (and moment columns), built on the fly: no HBM-resident feature
-        # image is ever materialized.
+        # image is ever materialized. Likewise the image mask multiplies
+        # channels per band inside the fused feature build — no full-image
+        # masked copy ever exists in HBM.
         gidx = bidx * band_px + jnp.arange(band_px, dtype=jnp.int32)
         row = gidx // w
         col = gidx % w
@@ -256,10 +267,12 @@ def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
             cols.append(_moment_cols(row.astype(jnp.float32),
                                      col.astype(jnp.float32)))
         if ib is not None:
-            cols.append(ib)
+            cols.append(ib if mb is None else ib * mb[:, None])
         if ab is not None:
             cols.append((ab[:, None] == jnp.arange(aux_classes)[None, :])
                         .astype(jnp.float32))
+        if mb is not None:
+            cols.append(mb[:, None])
         feat = jnp.concatenate(cols, axis=1)          # (band_px, ncols)
         part = _split_dot(oh, feat)                   # (width, ncols)
         cur = jax.lax.dynamic_slice(acc, (base, 0), (width, ncols))
@@ -271,13 +284,17 @@ def _label_stats_windowed(labels: jax.Array, image: jax.Array | None,
     acc = acc[:num_segments]
     mom = acc[:, 2:2 + nmom] if moments else None
     sums = acc[:, 2 + nmom:2 + nmom + nchan]
-    ah = acc[:, 2 + nmom + nchan:] if aux is not None else None
-    return LabelStats(acc[:, 0], acc[:, 1], sums, jnp.any(spills), mom, ah)
+    ah = acc[:, 2 + nmom + nchan:2 + nmom + nchan + naux] \
+        if aux is not None else None
+    mc = acc[:, -1] if image_mask is not None else None
+    return LabelStats(acc[:, 0], acc[:, 1], sums, jnp.any(spills), mom, ah,
+                      mc)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _label_stats_exact(labels: jax.Array, image: jax.Array | None,
-                       aux: jax.Array | None, num_segments: int,
+                       aux: jax.Array | None,
+                       image_mask: jax.Array | None, num_segments: int,
                        aux_classes: int = 0, moments: bool = False):
     """Scatter-based fallback (exact for arbitrary label images)."""
     shape = labels.shape
@@ -293,10 +310,18 @@ def _label_stats_exact(labels: jax.Array, image: jax.Array | None,
         border = border.at[tuple(idx)].set(True)
     border_hits = jnp.zeros((num_segments,), jnp.float32).at[flat].add(
         border.reshape(-1).astype(jnp.float32))
+    mc = None
+    if image_mask is not None:
+        mflat = image_mask.reshape(-1).astype(jnp.float32)
+        mc = jnp.zeros((num_segments,), jnp.float32).at[flat].add(mflat)
+        mc = mc.at[0].set(0.0)
     if image is not None:
-        sums = jax.ops.segment_sum(
-            image.reshape(-1, image.shape[-1]).astype(jnp.float32), flat,
-            num_segments=num_segments)
+        img_flat = image.reshape(-1, image.shape[-1]).astype(jnp.float32)
+        if image_mask is not None:
+            img_flat = img_flat * image_mask.reshape(-1, 1).astype(
+                jnp.float32)
+        sums = jax.ops.segment_sum(img_flat, flat,
+                                   num_segments=num_segments)
         sums = sums.at[0].set(0.0)
     else:
         sums = jnp.zeros((num_segments, 0), jnp.float32)
@@ -315,13 +340,14 @@ def _label_stats_exact(labels: jax.Array, image: jax.Array | None,
     # Row 0 (background) is always zero, matching the windowed path (which
     # never accumulates unlabeled pixels).
     return LabelStats(counts.at[0].set(0.0), border_hits.at[0].set(0.0),
-                      sums, jnp.bool_(False), mom, ah)
+                      sums, jnp.bool_(False), mom, ah, mc)
 
 
 def label_stats(labels: jax.Array, image: jax.Array | None,
                 num_segments: int, width: int = 512,
                 band_px: int | None = None, aux: jax.Array | None = None,
-                aux_classes: int = 0, moments: bool = False) -> LabelStats:
+                aux_classes: int = 0, moments: bool = False,
+                image_mask: jax.Array | None = None) -> LabelStats:
     """Per-label [count, border-pixel count, channel sums, spatial moments,
     aux-value histogram] in one fused pass.
 
@@ -333,29 +359,39 @@ def label_stats(labels: jax.Array, image: jax.Array | None,
     ``aux``/``aux_classes``: optional int image in [0, aux_classes) -> per-
     label histogram (the erosion-depth table of the ecoli engine).
     ``moments``: add [r, c, r^2, c^2, rc] sums (regionprops shape columns).
+    ``image_mask``: optional labels.shape 0/1 array; channel sums then cover
+    masked pixels only and ``mask_counts`` reports the per-label masked
+    count — the fused path for measuring eroded cells in the same pass as
+    full-cell shape stats (counts/border/moments stay full-label). The
+    multiply happens per band inside the feature build, so no masked copy
+    of ``image`` is ever materialized in HBM.
     """
     if band_px is None:
         band_px = _pick_band_px(labels.size)
-    win = _label_stats_windowed(labels, image, aux, num_segments, width,
-                                band_px, aux_classes, moments)
+    win = _label_stats_windowed(labels, image, aux, image_mask, num_segments,
+                                width, band_px, aux_classes, moments)
 
-    def _exact(l, i, a):
-        e = _label_stats_exact(l, i, a, num_segments, aux_classes, moments)
+    def _exact(l, i, a, m):
+        e = _label_stats_exact(l, i, a, m, num_segments, aux_classes,
+                               moments)
         return tuple(x for x in (e.counts, e.border_hits, e.sums, e.moments,
-                                 e.aux_hist) if x is not None)
+                                 e.aux_hist, e.mask_counts) if x is not None)
 
-    def _fast(l, i, a):
+    def _fast(l, i, a, m):
         return tuple(x for x in (win.counts, win.border_hits, win.sums,
-                                 win.moments, win.aux_hist) if x is not None)
+                                 win.moments, win.aux_hist, win.mask_counts)
+                     if x is not None)
 
-    outs = jax.lax.cond(win.spill, _exact, _fast, labels, image, aux)
+    outs = jax.lax.cond(win.spill, _exact, _fast, labels, image, aux,
+                        image_mask)
     outs = list(outs)
     counts = outs.pop(0)
     border_hits = outs.pop(0)
     sums = outs.pop(0)
     mom = outs.pop(0) if moments else None
     ah = outs.pop(0) if aux is not None else None
-    return LabelStats(counts, border_hits, sums, win.spill, mom, ah)
+    mc = outs.pop(0) if image_mask is not None else None
+    return LabelStats(counts, border_hits, sums, win.spill, mom, ah, mc)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

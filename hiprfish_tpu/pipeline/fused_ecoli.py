@@ -127,11 +127,10 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # ~20 ms at 2000^2 x 95 ch) collapses into added matmul columns.
     eroded = _erode_labels_twice(seg_ws)
     mask_e = (eroded > 0).astype(jnp.float32)
-    img_aug = jnp.concatenate(
-        [registered * mask_e[:, :, None], mask_e[:, :, None]], axis=2)
-    s1 = segstats.label_stats(seg_ws, img_aug, pre_segments, moments=True)
-    counts_e = s1.sums[:, -1]
-    sums_e = s1.sums[:, :-1]
+    s1 = segstats.label_stats(seg_ws, registered, pre_segments, moments=True,
+                              image_mask=mask_e)
+    counts_e = s1.mask_counts
+    sums_e = s1.sums
     keep = (s1.counts >= cfg.cell_min_size) & (s1.border_hits == 0)
     n = jnp.maximum(s1.counts, 1.0)
     rbar = s1.moments[:, 0] / n

@@ -395,12 +395,68 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     return out, present, planes
 
 
-def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None):
+def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
+    """Mesh-sharded sweep of _segment_one_tile: tiles are independent until
+    the host union-find, so the slab batch shards over the mesh's 'fov'
+    axis with shard_map and each device sweeps its local slabs under
+    lax.map — the reference's only scale-out axis (Snakemake fan-out +
+    spatial tiling, ecoli/Snakefile:63-114, biofilm_analysis.py:900-917)
+    mapped onto chips. Tile count pads to a multiple of the axis size by
+    replaying the last slab; padded outputs are dropped on host. Output
+    contract matches _tiled_segment_pass."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
+     theta_range, phi_range) = statics
+    (tile_x, margin, n_tiles) = shapes
+    slab_x = tile_x + 2 * margin
+    enhanced_p, bkg_p = boxes.pop()
+    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
+    n_dev = mesh.shape["fov"]
+    nt = n_tiles + ((-n_tiles) % n_dev)
+    starts = [min(t, n_tiles - 1) * tile_x for t in range(nt)]
+    slabs_e = jnp.stack([jax.lax.slice(enhanced_p, (s, 0, 0),
+                                       (s + slab_x, y, z)) for s in starts])
+    slabs_b = jnp.stack([jax.lax.slice(bkg_p, (s, 0, 0),
+                                       (s + slab_x, y, z)) for s in starts])
+    del enhanced_p, bkg_p
+    sharding = NamedSharding(mesh, P("fov"))
+    slabs_e = jax.device_put(slabs_e, sharding)
+    slabs_b = jax.device_put(slabs_b, sharding)
+    thr = jax.device_put(jnp.stack([thresholds[0], thresholds[1]]),
+                         NamedSharding(mesh, P()))
+
+    def local(se, sb, th):
+        def one(args):
+            e, b = args
+            return _segment_one_tile(
+                e, b, (th[0], th[1]),
+                (seed_min, ccl_iters, ws_iters, tile_cap), (tile_x, margin))
+
+        return jax.lax.map(one, (se, sb))
+
+    run = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P("fov"), P("fov"), P()),
+        out_specs=P("fov"), check_vma=False))
+    outs, presents, planes = run(slabs_e, slabs_b, thr)
+    jax.block_until_ready(presents)
+    log(f"mesh sweep: {nt} slabs over {n_dev} devices")
+    return ([outs[t] for t in range(n_tiles)], presents[:n_tiles],
+            planes[:n_tiles])
+
+
+def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
+                        mesh=None):
     """Host-looped sweep of _segment_one_tile. ``boxes`` is a single-element
     list [(enhanced_p, bkg_p)]; it is emptied before the per-tile outputs
     are stacked so the 4 GB padded inputs free first. Returns stacked
     (tiles, tile_x, Y, Z) labels, (tiles, tile_cap) presence, and
-    (tiles, 2, Y, Z) boundary planes."""
+    (tiles, 2, Y, Z) boundary planes. With ``mesh``, tiles shard across
+    chips instead (see _tiled_segment_pass_mesh)."""
+    if mesh is not None:
+        return _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes,
+                                        log, mesh)
     (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
      theta_range, phi_range) = statics
     (tile_x, margin, n_tiles) = shapes
@@ -434,7 +490,7 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None):
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
                      max_cells: int = 16384, tile_x: int = 240,
                      margin: int = 64, tile_cap: int = 8192,
-                     chunk_xy: int = 128):
+                     chunk_xy: int = 128, mesh=None):
     """Full-scale 3D segmentation as a margin-tiled sweep — the design that
     actually fits the reference's 2020x2020x170 volume on one chip.
 
@@ -497,6 +553,15 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,
                                  cfg.kmeans_iters)
 
+    # Relayout (X, Y, Z) -> (X, Z, Y): the TPU pads the minor (lane) dim to
+    # 128 and the second-minor to 8 — with Z=170 minor, every full-volume
+    # buffer in the propagation loops carries 41% padding (170 -> 256);
+    # with Y=2020 minor it is 1.4% (-> 2048). Axis 0 stays X, so the tiling
+    # slices, margin crops, and boundary planes below are unchanged; the
+    # one-pass transposes in and out are ~50 ms against tens of seconds of
+    # while-loop traffic.
+    enhanced = jnp.transpose(enhanced, (0, 2, 1))
+    bkg = jnp.transpose(bkg, (0, 2, 1))
     n_tiles = -(-x // tile_x)
     pad_r = n_tiles * tile_x - x + margin
     enhanced_p = jnp.pad(enhanced, ((margin, pad_r), (0, 0), (0, 0)),
@@ -513,7 +578,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     del enhanced_p, bkg_p
     tiles_seg, tile_present, planes = _tiled_segment_pass(
         box, (thr_fg, thr_int), statics, (tile_x, margin, n_tiles),
-        log=_log)
+        log=_log, mesh=mesh)
 
     # Host union-find over the boundary plane pairs. Global id of tile t's
     # local rank r is t * tile_cap + r.
@@ -567,6 +632,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
             out_dtype=jnp.int32))
     seg = jnp.concatenate(remapped, axis=0)[:x]
     del remapped
+    seg = jnp.transpose(seg, (0, 2, 1))   # back to the caller's (X, Y, Z)
     _log("remap applied")
     return seg, n_cells, None
 

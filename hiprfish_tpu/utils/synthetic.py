@@ -97,11 +97,20 @@ def make_fov(
         ys = np.linspace(margin, h - margin, grid)
         xs = np.linspace(margin, w - margin, grid)
     else:
-        extent = spacing * (grid - 1)
-        y0 = max(margin, (h - extent) / 2)
-        x0 = max(margin, (w - extent) / 2)
-        ys = y0 + spacing * np.arange(grid)
-        xs = x0 + spacing * np.arange(grid)
+        # Aperiodic pitch: a strictly periodic lattice puts correlation
+        # peaks at every multiple of `spacing`, and full-frame phase
+        # registration (the reference's) can lock onto the lattice instead
+        # of the stage shift (measured: planted (1,1) -> found (-2,92) at
+        # spacing 31). Real samples are not periodic; ±12% cumulative
+        # spacing jitter kills the spurious peaks while preserving density.
+        steps_y = spacing * (1 + rng.uniform(-0.12, 0.12, grid))
+        steps_x = spacing * (1 + rng.uniform(-0.12, 0.12, grid))
+        ys_rel = np.concatenate([[0.0], np.cumsum(steps_y[:-1])])
+        xs_rel = np.concatenate([[0.0], np.cumsum(steps_x[:-1])])
+        y0 = max(margin, (h - ys_rel[-1]) / 2)
+        x0 = max(margin, (w - xs_rel[-1]) / 2)
+        ys = y0 + ys_rel
+        xs = x0 + xs_rel
     jitter_px = 4.0
     yy, xx = np.mgrid[:h, :w]
 

@@ -14,11 +14,64 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <csetjmp>
 #include <thread>
 #include <vector>
 #include <atomic>
 
 #include <zstd.h>
+#include <jpeglib.h>
+
+// -- libjpeg plumbing (CZI compression id 1; the reference reads these
+// through bioformats' bundled codec, spectral_image_measurement.py:145) --
+
+namespace {
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr ci) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(ci->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG byte stream into caller-provided u8 buffer (row-major,
+// interleaved components). Returns true on success.
+bool decode_jpeg_u8(const uint8_t* buf, size_t len, uint8_t* out,
+                    size_t out_cap, int32_t* w, int32_t* h, int32_t* nc) {
+  jpeg_decompress_struct ci;
+  JpegErr err;
+  ci.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  jpeg_create_decompress(&ci);
+  jpeg_mem_src(&ci, const_cast<unsigned char*>(buf), len);
+  if (jpeg_read_header(&ci, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  jpeg_start_decompress(&ci);
+  const size_t row = (size_t)ci.output_width * ci.output_components;
+  if (out_cap < row * ci.output_height) {
+    jpeg_destroy_decompress(&ci);
+    return false;
+  }
+  while (ci.output_scanline < ci.output_height) {
+    JSAMPROW rows[1] = {out + (size_t)ci.output_scanline * row};
+    jpeg_read_scanlines(&ci, rows, 1);
+  }
+  *w = ci.output_width;
+  *h = ci.output_height;
+  *nc = ci.output_components;
+  jpeg_finish_decompress(&ci);
+  jpeg_destroy_decompress(&ci);
+  return true;
+}
+}  // namespace
 
 extern "C" {
 
@@ -57,8 +110,24 @@ static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
     if (ZSTD_isError(got)) return false;
     data = scratch.data();
     data_len = got;
+  } else if (d.compression == 1) {  // JPEG (libjpeg)
+    scratch.resize((size_t)d.sy * d.sx * d.sc);
+    int32_t jw, jh, jc;
+    if (!decode_jpeg_u8(data, data_len, scratch.data(), scratch.size(),
+                        &jw, &jh, &jc))
+      return false;
+    if (jw != d.sx || jh != d.sy || jc != d.sc) return false;
+    // JPEG payloads are interleaved u8 (Y, X, C); place directly.
+    for (int64_t y = 0; y < d.sy; ++y) {
+      float* dst = out + ((d.y0 + y) * W + d.x0) * C + d.c0;
+      const uint8_t* src = scratch.data() + (size_t)y * d.sx * d.sc;
+      for (int64_t x = 0; x < d.sx; ++x)
+        for (int64_t c = 0; c < d.sc; ++c)
+          dst[x * C + c] = src[x * d.sc + c] / 255.0f;
+    }
+    return true;
   } else if (d.compression != 0) {
-    return false;  // JPEG/JPEG-XR unsupported natively
+    return false;  // JPEG-XR unsupported natively
   }
 
   const int64_t n = (int64_t)d.sy * d.sx * d.sc;
@@ -104,6 +173,16 @@ static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
       return false;
   }
   return true;
+}
+
+// Standalone JPEG decode for the Python codec registry (io/czi.py
+// register_decompressor). Writes interleaved u8 into `out`; returns 0 on
+// success, -1 on decode failure / insufficient capacity.
+int czi_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out,
+                    int64_t out_cap, int32_t* w, int32_t* h, int32_t* nc) {
+  return decode_jpeg_u8(buf, (size_t)len, out, (size_t)out_cap, w, h, nc)
+             ? 0
+             : -1;
 }
 
 // Assemble one (H, W, C) float32 plane from n subblocks. Returns 0 on

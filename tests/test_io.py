@@ -162,3 +162,80 @@ def test_czi_codec_registry_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(got, plane, rtol=1e-6)
     finally:
         czi._DECOMPRESSORS.pop(czi.COMP_JPEGXR, None)
+
+
+def test_czi_jpeg_native_decode_roundtrip(tmp_path, rng):
+    """Real JPEG-compressed CZI (compression=1) decodes out of the box:
+    golden bytes from a PIL encoder, decoded by the native libjpeg path and
+    by the registry chain through CziFile.load_plane — io/czi.py's
+    unsupported-codec raise must be unreachable for compression=1."""
+    import io as _io
+
+    from PIL import Image
+
+    from hiprfish_tpu.io import czi_native
+
+    img = np.zeros((48, 64), np.uint8)
+    yy, xx = np.mgrid[:48, :64]
+    for cx, cy in [(16, 12), (40, 30), (55, 10)]:
+        img[((yy - cy) ** 2 + (xx - cx) ** 2) < 49] = 200
+    img += (rng.rand(48, 64) * 10).astype(np.uint8)
+
+    def pil_jpeg_encode(raw_bytes: bytes) -> bytes:
+        arr = np.frombuffer(raw_bytes, np.uint8).reshape(48, 64)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, "JPEG", quality=95)
+        return buf.getvalue()
+
+    path = str(tmp_path / "jpeg.czi")
+    # write_czi serializes pixel_type 0 planes as u8; the compressor
+    # receives those bytes directly
+    czi.write_czi(path, img[:, :, None].astype(np.float32), pixel_type=0,
+                  compression=czi.COMP_JPEG, compressor=pil_jpeg_encode)
+
+    got = np.asarray(czi.CziFile(path).load_plane(), np.float32)
+    got = got.reshape(48, 64)
+    if got.max() <= 1.0:       # u8 planes load 1/255-normalized
+        got = got * 255.0
+    # JPEG is lossy: demand close, not equal
+    assert np.abs(got - img.astype(np.float32)).mean() < 3
+
+    # direct native decode path (when the toolchain built the library)
+    buf = _io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, "JPEG", quality=95)
+    arr = czi_native.decode_jpeg(buf.getvalue(), (48, 64))
+    if arr is not None:
+        ref = np.asarray(Image.open(_io.BytesIO(buf.getvalue())))
+        assert arr.shape == ref.shape
+        # libjpeg vs PIL(-libjpeg-turbo) IDCT may differ by ±1
+        assert np.abs(arr.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_czi_jpeg_native_assembler(tmp_path, rng):
+    """The threaded native assembler (czi_native.load_plane_native) decodes
+    JPEG subblocks in C++ via libjpeg."""
+    import io as _io
+
+    from PIL import Image
+
+    from hiprfish_tpu.io import czi_native
+
+    if czi_native.get_library() is None:
+        pytest.skip("native library unavailable")
+    img = (rng.rand(32, 40) * 255).astype(np.uint8)
+    img[8:24, 10:30] = 180  # smooth block survives JPEG well
+
+    def enc(raw):
+        arr = np.frombuffer(raw, np.uint8).reshape(32, 40)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, "JPEG", quality=95)
+        return buf.getvalue()
+
+    path = str(tmp_path / "jn.czi")
+    czi.write_czi(path, img[:, :, None].astype(np.float32), pixel_type=0,
+                  compression=czi.COMP_JPEG, compressor=enc)
+    f = czi.CziFile(path)
+    got = czi_native.load_plane_native(f)
+    assert got is not None
+    got = np.asarray(got).reshape(32, 40) * 255.0
+    assert np.abs(got[8:24, 10:30] - 180).mean() < 3

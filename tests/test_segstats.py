@@ -48,8 +48,9 @@ def test_windowed_stats_match_exact(rng):
     seq, n = segstats.rank_labels(jnp.asarray(lab.label(jnp.asarray(m), 2)),
                                   2)
     img = jnp.asarray(rng.rand(*m.shape, 3).astype(np.float32))
-    win = segstats._label_stats_windowed(seq, img, None, 256, 32, 2048, 0, False)
-    exact = segstats._label_stats_exact(seq, img, None, 256)
+    win = segstats._label_stats_windowed(seq, img, None, None, 256, 32,
+                                         2048, 0, False)
+    exact = segstats._label_stats_exact(seq, img, None, None, 256)
     assert not bool(win.spill)
     assert np.array_equal(np.asarray(win.counts), np.asarray(exact.counts))
     assert np.array_equal(np.asarray(win.border_hits),
@@ -85,7 +86,7 @@ def test_spill_falls_back_to_exact(rng):
     # width 2 guarantees window overflow -> the cond fallback must still
     # produce exact results
     tiny = segstats.label_stats(seq, img, 64, width=2)
-    exact = segstats._label_stats_exact(seq, img, None, 64)
+    exact = segstats._label_stats_exact(seq, img, None, None, 64)
     assert bool(tiny.spill)
     assert np.array_equal(np.asarray(tiny.counts), np.asarray(exact.counts))
     np.testing.assert_allclose(np.asarray(tiny.sums), np.asarray(exact.sums),
@@ -140,3 +141,33 @@ def test_remove_small_objects_fast_matches_reference(rng):
         fast = segstats.remove_small_objects_fast(jnp.asarray(m), min_size, 2)
         slow = lab.remove_small_objects(jnp.asarray(m), min_size, 2)
         assert np.array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_image_mask_stats_match_two_pass(rng):
+    """label_stats(image_mask=...) equals the two-pass formulation: full
+    shape stats over labels + channel sums over the masked pixels only
+    (the fused-eroded-measurement path of fused_ecoli)."""
+    m = _blob_mask(rng)
+    seq, n = segstats.rank_labels(lab.label(jnp.asarray(m), 2), 2)
+    seq_np = np.asarray(seq)
+    img = rng.rand(*m.shape, 3).astype(np.float32)
+    emask = (rng.rand(*m.shape) > 0.4) & m        # irregular erosion stand-in
+    st = segstats.label_stats(seq, jnp.asarray(img), 64, width=64,
+                              moments=True,
+                              image_mask=jnp.asarray(emask, np.float32))
+    for v in range(1, min(int(n) + 1, 64)):
+        sel = seq_np == v
+        sel_m = sel & emask
+        assert st.counts[v] == sel.sum()
+        assert st.mask_counts[v] == sel_m.sum()
+        np.testing.assert_allclose(np.asarray(st.sums)[v], img[sel_m].sum(0),
+                                   rtol=1e-4, atol=1e-3)
+    # spill fallback keeps the same semantics
+    tiny = segstats.label_stats(seq, jnp.asarray(img), 64, width=2,
+                                moments=True,
+                                image_mask=jnp.asarray(emask, np.float32))
+    assert bool(tiny.spill)
+    np.testing.assert_allclose(np.asarray(tiny.mask_counts),
+                               np.asarray(st.mask_counts), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tiny.sums), np.asarray(st.sums),
+                               rtol=1e-4, atol=1e-3)

@@ -108,6 +108,12 @@ def fov_scene(layout, codes, i, shifts, cell_axes, spacing):
 def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
                spacing):
     codes = [base_codes[i % len(base_codes)] for i in range(GRID * GRID)]
+    # Agreement scores the TPU inference stack on the oracle's own fitted
+    # artifacts (harness.TpuOracleTwin) — two independently TRAINED
+    # classifiers disagree on crosstalk-corrupted cells for sampling
+    # reasons no inference engine controls; truth-accuracy columns still
+    # score the production classifier.
+    twin = harness.TpuOracleTwin(ref_clf)
     seg_metrics, clf_metrics, ious_all = [], [], []
     agree_e2e = agree_ss = n_e2e = n_ss = 0
     for i in range(N_FOVS):
@@ -117,7 +123,7 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
             fov, "ecoli" if name == "ecoli" else "multispecies",
             max_cells=MAX_CELLS)
         c = harness.classification_parity(bundle, fov, codes,
-                                          ref_clf, tpu_clf)
+                                          ref_clf, tpu_clf, twin=twin)
         print(f"[{name} fov {i}] {m['matched']}/{m['n_cells_ref']} matched, "
               f"iou={m['mean_iou']:.3f}, same-spectra "
               f"agree={c['same_spectra_agreement']:.4f}, "
