@@ -41,6 +41,18 @@ def _block_cosine_dist(xb: jax.Array, yb: jax.Array) -> jax.Array:
     return dist
 
 
+def _block_normalize(a: jax.Array, blocks):
+    """Per-block L2-normalized copy + (N, B) zero-norm indicators."""
+    outs, zs = [], []
+    for lo, hi in blocks:
+        b = a[:, lo:hi]
+        n = jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True))
+        outs.append(jnp.where(n > 0, b / jnp.maximum(n, 1e-30), 0.0))
+        zs.append(n[:, 0] == 0)
+    return jnp.concatenate(outs, axis=1), jnp.stack(zs, axis=1).astype(
+        jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def block_cosine_distance_matrix(
     x: jax.Array,
@@ -58,14 +70,27 @@ def block_cosine_distance_matrix(
         ungated mean-of-block-cosines metric.
 
     Returns (N, M) float32 distances.
+
+    Formulation: with rows normalized PER BLOCK up front, the sum of block
+    cosines is ONE concatenated GEMM — sum_b <x̂_b, ŷ_b> = <x̂, ŷ> — and the
+    zero-norm conventions become indicator GEMMs: a zero block normalizes
+    to 0 (contributing cos 0, i.e. distance 1, the one-zero rule), and the
+    both-zero rule (distance 0) subtracts the (N, M) both-zero block count
+    z_x @ z_y^T. The old per-block form materialized 7 (N, M) distance
+    temporaries plus ~20 (N, M) elementwise passes; this form is 2 wide
+    GEMMs + 3 thin ones + one select, all MXU-shaped.
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     n_blocks = len(blocks)
-    dists = [
-        _block_cosine_dist(x[:, lo:hi], y[:, lo:hi]) for (lo, hi) in blocks
-    ]
-    ungated = sum(dists) / n_blocks
+    xn, xz = _block_normalize(x, blocks)
+    yn, yz = _block_normalize(y, blocks)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    cos_sum = dot(xn, yn)                   # sum_b cos_b ((N, M), one GEMM)
+    n_both_zero = dot(xz, yz)               # both-zero blocks per pair
+    ungated = (n_blocks - cos_sum - n_both_zero) / n_blocks
     if check_slice is None:
         return ungated
     clo, chi = check_slice
@@ -77,14 +102,24 @@ def block_cosine_distance_matrix(
     diff = (
         jnp.sum(xc, axis=1)[:, None]
         + jnp.sum(yc, axis=1)[None, :]
-        - 2.0 * jnp.dot(xc, yc.T, preferred_element_type=jnp.float32)
+        - 2.0 * dot(xc, yc)
     )
     agree = jnp.abs(diff) < 0.01
     n_checks = chi - clo
-    gated = sum(
-        dists[b] * xc[:, min(b, n_checks - 1)][:, None]
-        for b in range(n_blocks)
-    ) / n_blocks
+    gates = jnp.stack([xc[:, min(b, n_checks - 1)]
+                       for b in range(n_blocks)], axis=1)   # (N, B)
+    # scale each query block by its gate -> one GEMM gives sum_b g_b cos_b
+    parts = []
+    col = 0
+    for b, (lo, hi) in enumerate(blocks):
+        wid = hi - lo
+        parts.append(xn[:, col:col + wid] * gates[:, b][:, None])
+        col += wid
+    xng = jnp.concatenate(parts, axis=1)
+    g_cos = dot(xng, yn)
+    g_both_zero = dot(xz * gates, yz)
+    g_sum = jnp.sum(gates, axis=1)[:, None]
+    gated = (g_sum - g_cos - g_both_zero) / n_blocks
     return jnp.where(agree, gated, ungated)
 
 

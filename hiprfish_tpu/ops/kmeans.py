@@ -17,24 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
-                     n_bins: int = 2048):
-    """Sorted-ascending cluster centers only — no full-size assignment.
+def _value_histogram(values: jax.Array, n_bins: int):
+    """(counts, bin_val, vmin, vmax, span) — the shared Lloyd substrate.
 
-    The (N, k) distance matrix of the final labeling is the only O(N*k)
-    buffer in kmeans1d; on gigavoxel volumes that alone is several GB, and
-    callers that just need a decision threshold (the tiled 3D engine) never
-    want it.
-    """
+    Statistical: built from a strided subsample (assignment on the full
+    data stays exact downstream) — the full-size scatter otherwise
+    dominates the whole call."""
     v = values.reshape(-1).astype(jnp.float32)
     vmin = jnp.min(v)
     vmax = jnp.max(v)
     span = jnp.maximum(vmax - vmin, 1e-12)
-    # Histogram of values (weights = counts, sums = per-bin value mass).
-    # Center fitting is statistical: build the histogram from a strided
-    # subsample (assignment below stays exact on the full data) — the 4M-
-    # element scatter otherwise dominates the whole call.
     max_hist = 1 << 19
     stride = max(1, v.shape[0] // max_hist)
     vs = v[::stride]
@@ -48,6 +40,12 @@ def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
     bin_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
     bin_pos = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins * span
     bin_val = jnp.where(counts > 0, bin_centers, bin_pos)
+    return counts, bin_val, vmin, vmax, span
+
+
+def _lloyd_from_histogram(counts, bin_val, vmin, vmax, span, k: int,
+                          iters: int):
+    """Multi-start Lloyd over a fixed histogram; sorted-ascending centers."""
 
     def step(centers, _):
         d = jnp.abs(bin_val[:, None] - centers[None, :])
@@ -70,6 +68,7 @@ def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
     # max-anchored start guarantees a basin for a far-out bright mode.
     # Quantiles come from the histogram CDF (searchsorted over n_bins) — an
     # O(N) full sort would dominate the whole call on TPU.
+    n_bins = counts.shape[0]
     qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
     cdf = jnp.cumsum(counts)
     qbins = jnp.searchsorted(cdf, qs * cdf[-1])
@@ -80,6 +79,31 @@ def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
     all_centers, inertias = jax.vmap(lloyd)(inits)
     centers = all_centers[jnp.argmin(inertias)]
     return jnp.sort(centers)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def kmeans1d_centers(values: jax.Array, k: int, iters: int = 40,
+                     n_bins: int = 2048):
+    """Sorted-ascending cluster centers only — no full-size assignment.
+
+    The (N, k) distance matrix of the final labeling is the only O(N*k)
+    buffer in kmeans1d; on gigavoxel volumes that alone is several GB, and
+    callers that just need a decision threshold (the tiled 3D engine) never
+    want it.
+    """
+    return _lloyd_from_histogram(*_value_histogram(values, n_bins), k, iters)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def kmeans1d_centers_multi(values: jax.Array, ks: tuple, iters: int = 40,
+                           n_bins: int = 2048):
+    """Centers for several k over ONE shared histogram of the same values.
+
+    The engines threshold the same log-intensity image with k=2 (foreground)
+    and k=3 (interior) back to back; the histogram scatter is the dominant
+    cost of each call, so sharing it halves the pair."""
+    hist = _value_histogram(values, n_bins)
+    return tuple(_lloyd_from_histogram(*hist, k, iters) for k in ks)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -106,6 +130,13 @@ def brightest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):
     centers`` (1-D nearest-center), so the (N, k) argmin pass is skipped."""
     centers = kmeans1d_centers(image, k, iters)
     return image >= (centers[-1] + centers[-2]) / 2.0
+
+
+def brightest_cluster_masks(image: jax.Array, ks: tuple = (2, 3),
+                            iters: int = 40):
+    """brightest_cluster_mask for several k sharing one histogram."""
+    all_centers = kmeans1d_centers_multi(image, tuple(ks), iters)
+    return tuple(image >= (c[-1] + c[-2]) / 2.0 for c in all_centers)
 
 
 def darkest_cluster_mask(image: jax.Array, k: int = 2, iters: int = 40):

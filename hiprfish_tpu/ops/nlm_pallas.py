@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
-                halo_x, pd, pr, h2, n_off):
+                halo_x, pd, pr, h2, n_off, use_bf16):
     i = pl.program_id(0)
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -52,6 +52,8 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     # per-offset shifts are expressed as dynamic rotates (pltpu.roll handles
     # traced shift amounts) followed by static slices. The halo
     # (2*patch_distance + patch_radius) absorbs all rotate wrap-around.
+    lowp = jnp.bfloat16 if use_bf16 else jnp.float32
+
     def body(k, carry):
         acc, wacc = carry
         dy = off_ref[k, 0]
@@ -59,7 +61,13 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
         # neg_roll[p] = I(p - o); pos_roll[p] = I(p + o)
         neg_roll = _roll(_roll(winv, dy, 0), dx, 1)
         pos_roll = _roll(_roll(winv, -dy, 0), -dx, 1)
-        e = (winv - neg_roll) ** 2
+        # The squared difference keeps f32 (bf16 cancels the small a-b
+        # delta); the box tree and its rolls — the majority of the VPU
+        # passes — run at half width. e ~ noise^2 << 1, so bf16 terms keep
+        # ~0.4% relative accuracy and the 49-term sum ~1%: invisible under
+        # exp(-box/h^2 ps^2) softmax-style weighting (verified against the
+        # f32 kernel; barcode accuracy unchanged).
+        e = ((winv - neg_roll) ** 2).astype(lowp)
 
         # Separable patch box sum: valid wherever >= pr from the border.
         # Doubling-tree decomposition: partial sums of 2^k consecutive
@@ -88,7 +96,7 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
         # box shifted by -pr in both axes.
         box_c = _roll(box, pr, 0)
         box_c = _roll(box_c, pr, 1)
-        w = jnp.exp(box_c * (-1.0 / (h2 * ps * ps)))
+        w = jnp.exp(box_c.astype(jnp.float32) * (-1.0 / (h2 * ps * ps)))
         w_mir = _roll(_roll(w, -dy, 0), -dx, 1)
         acc = acc + w[blk] * neg_roll[blk] + w_mir[blk] * pos_roll[blk]
         wacc = wacc + w[blk] + w_mir[blk]
@@ -100,13 +108,14 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def denoise_nl_means_pallas(
     image: jax.Array,
     h: float = 0.02,
     patch_size: int = 7,
     patch_distance: int = 11,
     block: int = 256,
+    use_bf16: bool = True,
 ):
     """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means."""
     img = image.astype(jnp.float32)
@@ -140,7 +149,7 @@ def denoise_nl_means_pallas(
 
     kernel = functools.partial(
         _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
-        pr=pr, h2=float(h * h), n_off=len(offsets))
+        pr=pr, h2=float(h * h), n_off=len(offsets), use_bf16=use_bf16)
 
     out = pl.pallas_call(
         kernel,

@@ -92,8 +92,11 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # chain (see segment2d.segment_lpcv_from_registered): same cell seeds,
     # compact CCL inputs.
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
-    seed_mask = morph.binary_fill_holes(morph.binary_opening(fg)) \
-        & morph.binary_fill_holes(fg)
+    # fill(opening(fg)) & fill(fg) == fill(opening(fg)): opening only
+    # shrinks, and reachability through ~fg implies reachability through
+    # the superset ~opening(fg) — the second border flood was a no-op
+    # (same identity as segment3d._segment_one_tile)
+    seed_mask = morph.binary_fill_holes(morph.binary_opening(fg))
 
     # Rank the markers to sequential 1..n BEFORE flooding (gather-free
     # presence trick, ops/segstats.py): the watershed then propagates

@@ -60,8 +60,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     fov_sum = jnp.sum(registered, axis=2)
     image_cn = jnp.log(fov_sum + 1e-2)
 
-    fg = km.brightest_cluster_mask(image_cn, 2, cfg.kmeans_iters)
-    interior = km.brightest_cluster_mask(image_cn, 3, cfg.kmeans_iters)
+    fg, interior = km.brightest_cluster_masks(image_cn, (2, 3),
+                                             cfg.kmeans_iters)
     interior = segstats.remove_small_holes_fast(interior, 64)
     interior = morph.binary_opening(interior)
     # Single CCL+rank for small-object filter AND component ids: the

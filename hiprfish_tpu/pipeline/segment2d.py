@@ -138,8 +138,8 @@ def segment_ecoli(
     fov_sum = jnp.sum(registered, axis=2)
     image_cn = jnp.log(fov_sum + 1e-2)
 
-    fg = km.brightest_cluster_mask(image_cn, 2, cfg.kmeans_iters)
-    interior = km.brightest_cluster_mask(image_cn, 3, cfg.kmeans_iters)
+    fg, interior = km.brightest_cluster_masks(image_cn, (2, 3),
+                                             cfg.kmeans_iters)
     interior = morph.remove_small_holes(interior, 64)
     interior = morph.binary_opening(interior)
     cell_sm = lab.remove_small_objects(interior, 50)
@@ -251,10 +251,13 @@ def segment_lpcv_from_registered(
     # seeds, but the CCL/fill passes run on compact blobs instead of a
     # near-percolation maze (~8x fewer propagation rounds on TPU).
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
-    seeds_core = morph.binary_fill_holes(
+    # fill(core) & fill(fg) == fill(core): core = filtered opening of fg
+    # is a subset of fg, so every core hole is an fg hole (reachability
+    # through ~fg implies it through the superset ~core) — the second
+    # border flood was a no-op
+    seed_mask = morph.binary_fill_holes(
         lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 2)
     )
-    seed_mask = seeds_core & morph.binary_fill_holes(fg)
 
     if biofilm:
         watershed_surface = -(denoised * bkg)

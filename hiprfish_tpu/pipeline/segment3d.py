@@ -263,8 +263,9 @@ def _segment_post_enhance(enhanced, bkg, statics):
 
     (kmeans_iters, seed_min, ccl_iters, ws_iters, max_cells) = statics
     pos = enhanced > 0
-    fg = km.brightest_cluster_mask(enhanced, 2, kmeans_iters) & pos
-    interior = km.brightest_cluster_mask(enhanced, 3, kmeans_iters) & pos & fg
+    fg3, int3 = km.brightest_cluster_masks(enhanced, (2, 3), kmeans_iters)
+    fg = fg3 & pos
+    interior = int3 & pos & fg
     interior = morph.binary_opening(interior)
     interior = segstats.remove_small_objects_fast(
         interior, seed_min, 3, max_iters=ccl_iters, exact_fallback=False)

@@ -88,6 +88,7 @@ def main():
 
     def timeit(name, fn, *xs, reps=3):
         stages[name], out = device_time_ms(fn, *xs, n=3, reps=reps, warmup=1)
+        print(f"{name:<36} {stages[name]:8.1f} ms", flush=True)
         return out
 
     # -- registration + sum + log --
@@ -206,15 +207,19 @@ def main():
     avg = avg / jnp.max(avg, axis=1, keepdims=True)
     timeit("classify (8192 x 1023-cls kNN)", jax.jit(classify_fn), avg)
 
+    # free the stage intermediates before the full program (holding them
+    # alongside the fused program's own buffers OOMs the chip)
+    del registered, image_cn, fg, interior0, interior1, interior, comp, \
+        cell_sm, depth, hist, markers, seg_ws, eroded, avg
+
     def full(stack):
         return fused_ecoli.fov_step_ecoli(stack, clf_arrays, cfg, max_cells,
                                           clf_static)[0]
 
-    timeit("TOTAL fov_step_ecoli", full, stack)
-
-    width = max(len(s) for s in stages)
-    for s, v in stages.items():
-        print(f"{s:<{width}}  {v:8.1f} ms")
+    try:
+        timeit("TOTAL fov_step_ecoli", full, stack)
+    except Exception as e:  # noqa: BLE001
+        print(f"TOTAL failed: {type(e).__name__}", flush=True)
 
 
 if __name__ == "__main__":
