@@ -24,8 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
-                halo_x, pd, pr, h2, n_off, use_bf16):
+def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
+                halo_x, pd, pr, h2):
     i = pl.program_id(0)
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -52,51 +52,39 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     # per-offset shifts are expressed as dynamic rotates (pltpu.roll handles
     # traced shift amounts) followed by static slices. The halo
     # (2*patch_distance + patch_radius) absorbs all rotate wrap-around.
-    lowp = jnp.bfloat16 if use_bf16 else jnp.float32
+    # Separable patch box sum, CENTERED: box[p] = sum of e over the patch
+    # centered at p. Doubling-tree decomposition (partial sums of 2^k
+    # consecutive elements combine into any window length with O(log ps)
+    # rolls+adds instead of ps-1), with the -pr centering shift FOLDED into
+    # the combine-stage rolls — the two standalone centering rolls per
+    # offset were pure overhead.
+    def _box_axis_centered(x, axis):
+        partial = {0: x}
+        k = 0
+        while (1 << (k + 1)) <= ps:
+            partial[k + 1] = partial[k] + _roll(partial[k], -(1 << k), axis)
+            k += 1
+        out = None
+        done = 0
+        for kk in range(k, -1, -1):
+            if done + (1 << kk) <= ps:
+                out_shift = -done + pr
+                term = partial[kk] if out_shift == 0 else _roll(
+                    partial[kk], out_shift, axis)
+                out = term if out is None else out + term
+                done += 1 << kk
+        return out
 
-    def body(k, carry):
+    def per_offset(dy, dx, wdy_neg, wdy_pos, carry):
+        """One (dy, dx) contribution; the dy-rolls of the window are hoisted
+        into the caller's dy loop (they were recomputed for all ~2 pd+1 dx
+        offsets sharing the same dy)."""
         acc, wacc = carry
-        dy = off_ref[k, 0]
-        dx = off_ref[k, 1]
-        # neg_roll[p] = I(p - o); pos_roll[p] = I(p + o)
-        neg_roll = _roll(_roll(winv, dy, 0), dx, 1)
-        pos_roll = _roll(_roll(winv, -dy, 0), -dx, 1)
-        # The squared difference keeps f32 (bf16 cancels the small a-b
-        # delta); the box tree and its rolls — the majority of the VPU
-        # passes — run at half width. e ~ noise^2 << 1, so bf16 terms keep
-        # ~0.4% relative accuracy and the 49-term sum ~1%: invisible under
-        # exp(-box/h^2 ps^2) softmax-style weighting (verified against the
-        # f32 kernel; barcode accuracy unchanged).
-        e = ((winv - neg_roll) ** 2).astype(lowp)
-
-        # Separable patch box sum: valid wherever >= pr from the border.
-        # Doubling-tree decomposition: partial sums of 2^k consecutive
-        # elements combine into any window length with O(log ps) rolls+adds
-        # instead of ps-1 (ps=7: 4 ops per axis vs 6 — the offset loop body
-        # is VPU-bound, so this is a direct kernel-time cut).
-        def _box_axis(x, axis):
-            partial = {0: x}
-            k = 0
-            while (1 << (k + 1)) <= ps:
-                partial[k + 1] = partial[k] + _roll(partial[k],
-                                                    -(1 << k), axis)
-                k += 1
-            out = None
-            done = 0
-            for kk in range(k, -1, -1):
-                if done + (1 << kk) <= ps:
-                    term = partial[kk] if out is None else _roll(
-                        partial[kk], -done, axis)
-                    out = term if out is None else out + term
-                    done += 1 << kk
-            return out
-
-        box = _box_axis(_box_axis(e, 0), 1)
-        # box[p] = sum of e over [p, p+ps)^2; the patch centered at p is
-        # box shifted by -pr in both axes.
-        box_c = _roll(box, pr, 0)
-        box_c = _roll(box_c, pr, 1)
-        w = jnp.exp(box_c.astype(jnp.float32) * (-1.0 / (h2 * ps * ps)))
+        neg_roll = _roll(wdy_neg, dx, 1)      # I(p - o)
+        pos_roll = _roll(wdy_pos, -dx, 1)     # I(p + o)
+        e = (winv - neg_roll) ** 2
+        box_c = _box_axis_centered(_box_axis_centered(e, 0), 1)
+        w = jnp.exp(box_c * (-1.0 / (h2 * ps * ps)))
         w_mir = _roll(_roll(w, -dy, 0), -dx, 1)
         acc = acc + w[blk] * neg_roll[blk] + w_mir[blk] * pos_roll[blk]
         wacc = wacc + w[blk] + w_mir[blk]
@@ -104,18 +92,36 @@ def _nlm_kernel(off_ref, img_ref, out_ref, win, sem, *, bh, bw, halo_y,
 
     acc0 = winv[blk]
     wacc0 = jnp.ones((bh, bw), jnp.float32)
-    acc, wacc = jax.lax.fori_loop(0, n_off, body, (acc0, wacc0))
+
+    # Loop structure: fori over both dy and dx with the window dy-rolls
+    # hoisted per dy. (Static unrolls were tried and rejected: the full
+    # 264-body unroll compiles for >20 min, and a 23-body dx unroll spills
+    # 157 MB of vector registers past the 128 MB VMEM budget.)
+    def body_row0(dx, carry):         # dy = 0 half-row: (0, dx), dx 1..pd
+        return per_offset(0, dx, winv, winv, carry)
+
+    carry = jax.lax.fori_loop(1, pd + 1, body_row0, (acc0, wacc0))
+
+    def body_dy(dy, carry):
+        wdy_neg = _roll(winv, dy, 0)
+        wdy_pos = _roll(winv, -dy, 0)
+
+        def body_dx(j, c):
+            return per_offset(dy, j - pd, wdy_neg, wdy_pos, c)
+
+        return jax.lax.fori_loop(0, 2 * pd + 1, body_dx, carry)
+
+    acc, wacc = jax.lax.fori_loop(1, pd + 1, body_dy, carry)
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def denoise_nl_means_pallas(
     image: jax.Array,
     h: float = 0.02,
     patch_size: int = 7,
     patch_distance: int = 11,
-    block: int = 256,
-    use_bf16: bool = True,
+    block: int = 512,
 ):
     """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means."""
     img = image.astype(jnp.float32)
@@ -139,25 +145,17 @@ def denoise_nl_means_pallas(
         img, ((halo_y, halo_y + ph - hh), (halo_x, halo_x + pw - ww)),
         mode="reflect")
 
-    offsets = np.array(
-        [(dy, dx)
-         for dy in range(-pd, pd + 1)
-         for dx in range(-pd, pd + 1)
-         if (dy, dx) > (0, 0)],
-        np.int32,
-    )
-
     kernel = functools.partial(
         _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
-        pr=pr, h2=float(h * h), n_off=len(offsets), use_bf16=use_bf16)
+        pr=pr, h2=float(h * h))
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(gh, gw),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((bh, bw), lambda i, j, off: (i, j),
+            out_specs=pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((bh + 2 * halo_y, bw + 2 * halo_x), jnp.float32),
@@ -168,5 +166,5 @@ def denoise_nl_means_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray(offsets), padded)
+    )(padded)
     return out[:hh, :ww]

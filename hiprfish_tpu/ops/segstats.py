@@ -452,22 +452,34 @@ def remove_small_holes_fast(mask: jax.Array, area_threshold: int = 64,
                             connectivity: int = 1,
                             num_segments: int = 32768,
                             max_iters: int = 512) -> jax.Array:
-    """skimage remove_small_holes without 4M-table scatter/gather: label the
-    complement, rank, windowed counts + border hits, windowed hole lookup."""
+    """skimage remove_small_holes without 4M-table scatter/gather.
+
+    A hole is a complement component with no border contact, so one border
+    flood (bool or-scans) isolates the hole pixels first and the CCL+rank
+    runs only on THOSE — sparse, hole-diameter-bounded structures whose
+    scan doubling caps at ~sqrt(area_threshold) — instead of labeling the
+    entire complement including the image-sized background component
+    (measured 33 ms -> the flood + two capped-scan rounds at 2000^2)."""
     from hiprfish_tpu.ops import labeling as lab
 
     m = mask.astype(bool)
     comp = ~m
-    lbl = lab.label(comp, connectivity, max_iters)
-    seq, n = rank_labels(lbl, connectivity, max_iters)
+    reach = lab.flood_reach(lab.border_mask(mask.shape), comp, connectivity,
+                            max_iters)
+    holes = comp & ~reach
+    # cap: a component of area < T has diameter < T, but typical holes are
+    # compact; 4*sqrt(T) covers elongated ones, and longer runs only cost
+    # extra fixpoint iterations, never correctness
+    cap = max(8, 4 * int(float(area_threshold) ** 0.5))
+    seq, n = rank_labels(lab.label(holes, connectivity, max_iters, cap),
+                         connectivity, max_iters, cap)
 
     def fast(seq):
         seqc = jnp.minimum(seq, num_segments - 1)
         st = label_stats(seqc, None, num_segments)
-        hole_tbl = ((st.counts < area_threshold)
-                    & (st.border_hits == 0)).astype(jnp.float32)
+        hole_tbl = (st.counts < area_threshold).astype(jnp.float32)
         hole = label_lookup(seqc, hole_tbl) > 0.5
-        return m | (hole & comp)
+        return m | (hole & holes)
 
     def slow(seq):
         from hiprfish_tpu.ops.morphology import remove_small_holes

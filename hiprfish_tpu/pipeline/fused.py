@@ -106,16 +106,18 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # pre-filter remove_small_objects ran a second full CCL (~34 ms of the
     # fused budget, measured); the watershed mask (fg & bkg) is unchanged,
     # sub-threshold fragments just lose their markers.
-    markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters)
-    markers_seq, _ = segstats.rank_labels(markers0, 2, cfg.ccl_max_iters)
+    # max_run=64: seeds are cell cores; see labeling._run_min_scan
+    markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters, 64)
+    markers_seq, _ = segstats.rank_labels(markers0, 2, cfg.ccl_max_iters,
+                                          64)
     pre_segments = 2 * max_cells
     markers_seq = jnp.minimum(markers_seq, pre_segments - 1)
-    st = segstats.label_stats(markers_seq, None, pre_segments, width=512)
+    st = segstats.label_stats(markers_seq, None, pre_segments, width=256)
     keep_tbl = jnp.where(st.counts >= cfg.lp_seed_min_size,
                          jnp.arange(pre_segments, dtype=jnp.float32),
                          0.0).at[0].set(0.0)
     markers = segstats.label_lookup(markers_seq, keep_tbl,
-                                    width=512).astype(jnp.int32) \
+                                    width=256).astype(jnp.int32) \
         * bkg.astype(jnp.int32)
     seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
                        cfg.watershed_max_iters)
@@ -177,13 +179,13 @@ def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
     # materialized one-hot, the stage's dominant HBM traffic. Window spill
     # still falls back to the exact path via lax.cond.
     pre_segments = 2 * max_cells
-    stats = segstats.label_stats(seg0, registered, pre_segments, width=512)
+    stats = segstats.label_stats(seg0, registered, pre_segments, width=256)
     keep = (stats.counts >= cfg.lp_cell_min_size) & (stats.border_hits == 0)
     keep = keep.at[0].set(False)
     final = jnp.cumsum(keep.astype(jnp.int32))
     n_cells = final[-1]
     remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
-    seg = segstats.label_lookup(seg0, remap, width=512).astype(jnp.int32)
+    seg = segstats.label_lookup(seg0, remap, width=256).astype(jnp.int32)
     means = stats.sums / jnp.maximum(stats.counts, 1.0)[:, None]
     avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
         .at[remap].set(means)

@@ -64,42 +64,39 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
                                              cfg.kmeans_iters)
     interior = segstats.remove_small_holes_fast(interior, 64)
     interior = morph.binary_opening(interior)
-    # Single CCL+rank for small-object filter AND component ids: the
-    # reference's remove_small_objects(_, 50) -> label sequence
-    # (spectral_image_measurement.py:97-98) ran as two full labeling
-    # rounds; labeling the opened mask once and zeroing sub-50 ids from
-    # the stats table is equivalent (dropped ids leave gaps, which every
-    # downstream per-id table tolerates) and saves a CCL+rank.
+    # Single CCL+rank + ONE stats pass carries the whole seeding decision:
+    # the reference's remove_small_objects(50) -> label -> per-erosion-round
+    # regionprops (spectral_image_measurement.py:97-110) collapses into the
+    # component labeling, a fused [counts, erosion-depth histogram] pass,
+    # and one table lookup. The sub-50 small-object filter becomes a
+    # valid_seed conjunct (counts >= 50): dropped components simply get the
+    # sentinel depth bound and emit no seeds — identical output, two fewer
+    # windowed passes and one fewer lookup.
+    # max_run=64: interior components are cells (minor axis <= 35 px,
+    # spectral_image_measurement.py:119); longer clumps just cost extra
+    # fixpoint iterations, never correctness.
     pre_segments = 2 * max_cells
     comp0, _ = segstats.rank_labels(
-        lab.label(interior, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
+        lab.label(interior, 2, cfg.ccl_max_iters, 64), 2,
+        cfg.ccl_max_iters, 64)
     comp0 = jnp.minimum(comp0, pre_segments - 1)
-    cstats = segstats.label_stats(comp0, None, pre_segments)
-    keep_tbl = jnp.where(cstats.counts >= 50,
-                         jnp.arange(pre_segments, dtype=jnp.float32),
-                         0.0).at[0].set(0.0)
-    comp = segstats.label_lookup(comp0, keep_tbl).astype(jnp.int32)
-    cell_sm = comp > 0
 
     # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
     # survives k erosions iff depth(p) > k, so the per-iteration "component
-    # area after k erosions" is a (component, depth) histogram — ONE labeling
-    # + one windowed-matmul histogram instead of a CCL per erosion round. A
-    # component becomes a seed at the first k where its surviving area drops
-    # below seed_area_max, and its seed pixels are {depth > k}. Equivalent to
-    # the reference's loop (spectral_image_measurement.py:101-110) except
-    # when erosion splits a component (rare for convex cells; the
-    # host-orchestrated segment2d.segment_ecoli keeps the exact
-    # per-iteration semantics).
+    # area after k erosions" is a (component, depth) histogram. A component
+    # becomes a seed at the first k where its surviving area drops below
+    # seed_area_max, and its seed pixels are {depth > k}. Equivalent to the
+    # reference's loop except when erosion splits a component (rare for
+    # convex cells; segment2d.segment_ecoli keeps exact loop semantics).
     kmax = cfg.max_erosion_iters
-    depth = cell_sm.astype(jnp.int32)
-    m = cell_sm
+    depth = interior.astype(jnp.int32)
+    m = interior
     for _ in range(kmax - 1):
-        m = morph.binary_erosion(m) & cell_sm
+        m = morph.binary_erosion(m) & interior
         depth = depth + m
     depth_c = jnp.clip(depth, 0, kmax)
-    dstats = segstats.label_stats(comp, None, pre_segments, aux=depth_c,
-                                  aux_classes=kmax + 1)
+    dstats = segstats.label_stats(comp0, None, pre_segments, width=256,
+                                  aux=depth_c, aux_classes=kmax + 1)
     hist = dstats.aux_hist                                     # (C, kmax+1)
     # area_k[c, k] = component c's area after k erosions = #pixels depth > k.
     area_k = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1][:, 1:]  # (C, kmax)
@@ -107,14 +104,15 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     k_seed = jnp.argmax(small, axis=1).astype(jnp.int32)       # first such k
     seed_area = jnp.take_along_axis(area_k, k_seed[:, None], axis=1)[:, 0]
     valid_seed = (seed_area >= cfg.seed_min_size) \
-        & (jnp.arange(pre_segments) > 0)
-    # Single windowed broadcast: invalid/background slots get a sentinel
-    # depth bound no pixel exceeds.
+        & (dstats.counts >= 50) & (jnp.arange(pre_segments) > 0)
+    # Single windowed broadcast: invalid/background/dropped slots get a
+    # sentinel depth bound no pixel exceeds.
     ktbl = jnp.where(valid_seed, k_seed, kmax + 1).astype(jnp.float32)
-    k_pix = segstats.label_lookup(comp, ktbl)
-    seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp > 0) & cell_sm
+    k_pix = segstats.label_lookup(comp0, ktbl, width=256)
+    seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp0 > 0)
     markers, _ = segstats.rank_labels(
-        lab.label(seed_mask, 2, cfg.ccl_max_iters), 2, cfg.ccl_max_iters)
+        lab.label(seed_mask, 2, cfg.ccl_max_iters, 64), 2,
+        cfg.ccl_max_iters, 64)
     markers = jnp.minimum(markers, pre_segments - 1)
 
     seg_ws = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
@@ -127,7 +125,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # ~20 ms at 2000^2 x 95 ch) collapses into added matmul columns.
     eroded = _erode_labels_twice(seg_ws)
     mask_e = (eroded > 0).astype(jnp.float32)
-    s1 = segstats.label_stats(seg_ws, registered, pre_segments, moments=True,
+    s1 = segstats.label_stats(seg_ws, registered, pre_segments,
+                              width=256, moments=True,
                               image_mask=mask_e)
     counts_e = s1.mask_counts
     sums_e = s1.sums
@@ -150,7 +149,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     final = jnp.cumsum(keep.astype(jnp.int32))
     n_cells = final[-1]
     remap = jnp.where(keep, jnp.minimum(final, max_cells - 1), 0)
-    seg_final = segstats.label_lookup(eroded, remap).astype(jnp.int32)
+    seg_final = segstats.label_lookup(eroded, remap,
+                                      width=256).astype(jnp.int32)
     means = sums_e / jnp.maximum(counts_e, 1.0)[:, None]
     avgint = jnp.zeros((max_cells, means.shape[1]), jnp.float32) \
         .at[remap].set(means)

@@ -96,21 +96,38 @@ def make_fov(
     if spacing is None:
         ys = np.linspace(margin, h - margin, grid)
         xs = np.linspace(margin, w - margin, grid)
+        positions = None
     else:
-        # Aperiodic pitch: a strictly periodic lattice puts correlation
-        # peaks at every multiple of `spacing`, and full-frame phase
-        # registration (the reference's) can lock onto the lattice instead
-        # of the stage shift (measured: planted (1,1) -> found (-2,92) at
-        # spacing 31). Real samples are not periodic; ±12% cumulative
-        # spacing jitter kills the spurious peaks while preserving density.
-        steps_y = spacing * (1 + rng.uniform(-0.12, 0.12, grid))
-        steps_x = spacing * (1 + rng.uniform(-0.12, 0.12, grid))
-        ys_rel = np.concatenate([[0.0], np.cumsum(steps_y[:-1])])
-        xs_rel = np.concatenate([[0.0], np.cumsum(steps_x[:-1])])
-        y0 = max(margin, (h - ys_rel[-1]) / 2)
-        x0 = max(margin, (w - xs_rel[-1]) / 2)
-        ys = y0 + ys_rel
-        xs = x0 + xs_rel
+        # Dense mode: Poisson-disk (random sequential adsorption) cluster —
+        # a central microcolony with near-contact nearest neighbors and NO
+        # lattice. Any grid arrangement (even with jittered pitch) keeps
+        # rows globally phase-aligned, and full-frame phase registration
+        # (the reference's) then locks onto row-pitch lags instead of the
+        # stage shift (measured: planted (1,1) found (-2,92) periodic /
+        # (28,2) with jittered pitch). Real colonies have short-range order
+        # only, which rejection sampling reproduces.
+        min_dist = 0.85 * spacing
+        extent = float(np.sqrt(n * spacing * spacing * 1.6))
+        y0 = max(margin, (h - extent) / 2)
+        x0 = max(margin, (w - extent) / 2)
+        y1 = min(h - margin, y0 + extent)
+        x1 = min(w - margin, x0 + extent)
+        pts: list = []
+        tries = 0
+        while len(pts) < n and tries < 400 * n:
+            tries += 1
+            cy = rng.uniform(y0, y1)
+            cx = rng.uniform(x0, x1)
+            ok = True
+            for py, px in pts:
+                if (py - cy) ** 2 + (px - cx) ** 2 < min_dist * min_dist:
+                    ok = False
+                    break
+            if ok:
+                pts.append((cy, cx))
+        while len(pts) < n:   # jammed: drop the distance constraint
+            pts.append((rng.uniform(y0, y1), rng.uniform(x0, x1)))
+        positions = pts
     jitter_px = 4.0
     yy, xx = np.mgrid[:h, :w]
 
@@ -118,8 +135,11 @@ def make_fov(
     truth = np.zeros((h, w), np.int32)
     win = int(np.ceil(max(cell_axes))) + 2
     for i, code in enumerate(barcodes):
-        cy = ys[i // grid] + rng.uniform(-1, 1) * jitter_px
-        cx = xs[i % grid] + rng.uniform(-1, 1) * jitter_px
+        if positions is not None:
+            cy, cx = positions[i]
+        else:
+            cy = ys[i // grid] + rng.uniform(-1, 1) * jitter_px
+            cx = xs[i % grid] + rng.uniform(-1, 1) * jitter_px
         theta = rng.uniform(0, np.pi)
         a, b = cell_axes  # semi-minor, semi-major
         # Rasterize only the cell's bounding window (O(cells * window), not
