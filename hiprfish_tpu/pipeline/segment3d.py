@@ -354,7 +354,16 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     (seed_min, ccl_iters, ws_iters, tile_cap) = statics
     (tile_x, margin) = shapes
 
-    enh = enh.astype(jnp.float32)
+    # Slab-local relayout (sx, Y, Z) -> (sx, Z, Y): the TPU pads the minor
+    # (lane) dim to 128 — with Z=170 minor every propagation buffer carries
+    # 41% padding (170 -> 256); with Y=2020 minor it is 1.4% (-> 2048).
+    # Transposing per slab (2 x ~260 MB passes) keeps the FULL-volume
+    # buffers in their original layout — a whole-volume transpose doubled
+    # peak HBM and OOM'd the 16 GB chip (measured). Axis 0 stays x, so the
+    # margin crop and boundary-plane slices below are unchanged; outputs
+    # transpose back before returning.
+    enh = jnp.transpose(enh, (0, 2, 1)).astype(jnp.float32)
+    bkg = jnp.transpose(bkg, (0, 2, 1))
     pos = enh > 0
     fg = (enh >= thr_fg) & pos
     # max(thr_int, thr_fg) forces interior ⊆ fg, which makes
@@ -393,7 +402,9 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     # boundary (slab-local x = margin + tile_x - 1 and + tile_x).
     planes = jax.lax.dynamic_slice(
         seg, (margin + tile_x - 1, 0, 0), (2, seg.shape[1], seg.shape[2]))
-    return out, present, planes
+    # back to the caller's (x, Y, Z) layout
+    return (jnp.transpose(out, (0, 2, 1)), present,
+            jnp.transpose(planes, (0, 2, 1)))
 
 
 def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
@@ -554,15 +565,6 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,
                                  cfg.kmeans_iters)
 
-    # Relayout (X, Y, Z) -> (X, Z, Y): the TPU pads the minor (lane) dim to
-    # 128 and the second-minor to 8 — with Z=170 minor, every full-volume
-    # buffer in the propagation loops carries 41% padding (170 -> 256);
-    # with Y=2020 minor it is 1.4% (-> 2048). Axis 0 stays X, so the tiling
-    # slices, margin crops, and boundary planes below are unchanged; the
-    # one-pass transposes in and out are ~50 ms against tens of seconds of
-    # while-loop traffic.
-    enhanced = jnp.transpose(enhanced, (0, 2, 1))
-    bkg = jnp.transpose(bkg, (0, 2, 1))
     n_tiles = -(-x // tile_x)
     pad_r = n_tiles * tile_x - x + margin
     enhanced_p = jnp.pad(enhanced, ((margin, pad_r), (0, 0), (0, 0)),
@@ -633,7 +635,6 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
             out_dtype=jnp.int32))
     seg = jnp.concatenate(remapped, axis=0)[:x]
     del remapped
-    seg = jnp.transpose(seg, (0, 2, 1))   # back to the caller's (X, Y, Z)
     _log("remap applied")
     return seg, n_cells, None
 

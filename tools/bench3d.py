@@ -93,14 +93,26 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     shift_rng = np.random.RandomState(3)
     tile_shifts = [tuple(shift_rng.randint(-3, 4, 3)) for _ in range(gy * gx)]
     tile_shifts[0] = (0, 0, 0)
+    # A shifted microscope tile sees TRUE scene content at its edges, so
+    # cut each tile's window (offset by its shift) from a padded copy of
+    # the scene. The earlier jnp.roll fixture wrapped the opposite edge's
+    # pixels in — garbage strips real acquisition never produces, which
+    # seeded spurious cells in the stitched overlaps (the +2% r2
+    # over-detection: BENCH_3D_DIAG showed uniform-in-x duplicates + thin
+    # sheet-shaped noise labels, both stitch-seam shaped).
+    S = 3
+    volp = jnp.pad(vol, ((S, S), (S, S), (S, S)), mode="edge")
     tiles = [
-        jnp.roll(vol[i * step_y:i * step_y + ty,
-                     j * step_x:j * step_x + tx, :],
-                 tile_shifts[i * gx + j], axis=(0, 1, 2))
+        jax.lax.dynamic_slice(
+            volp,
+            (i * step_y + S - tile_shifts[i * gx + j][0],
+             j * step_x + S - tile_shifts[i * gx + j][1],
+             S - tile_shifts[i * gx + j][2]),
+            (ty, tx, shape[2]))
         for i in range(gy) for j in range(gx)
     ]
     sync(tiles[-1])
-    del vol
+    del vol, volp
 
     # ---- stitch (timed) ----
     pad = 10
@@ -188,8 +200,6 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
         # -> distance to the nearest tile boundary (240-px tiling of
         # segment_3d_tiled). Duplicates clustered at boundaries indict the
         # union-find merge; uniform duplicates indict seeding.
-        from hiprfish_tpu.ops import segstats as _ss
-
         n_truth = spec.n_cells + 1
 
         @functools.partial(jax.jit, static_argnums=(3,))
@@ -210,9 +220,28 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
         ct[:, 0] = 0
         maj_truth = ct.argmax(axis=1)
         has_t = ct.sum(axis=1) > 0
-        st = _ss.label_stats(seg, None, max_cells, moments=True)
-        cx = np.asarray(st.moments[:, 0]) / np.maximum(
-            np.asarray(st.counts), 1.0)
+
+        # Axis-0 centroid per label via x-chunked weighted bincounts —
+        # label_stats(moments=True) on the full volume materializes a
+        # [n_vox, 5] scatter buffer (22 GB, measured OOM).
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def cx_chunk(accs, seg_full, x0, xc):
+            acc_c, acc_x = accs
+            seg_c = jax.lax.dynamic_slice_in_dim(seg_full, x0, xc, 0)
+            flat = seg_c.reshape(-1)
+            xw = jnp.broadcast_to(
+                (x0 + jnp.arange(xc, dtype=jnp.float32))[:, None, None],
+                seg_c.shape).reshape(-1)
+            return (acc_c + jnp.bincount(flat, length=max_cells),
+                    acc_x + jnp.bincount(flat, weights=xw, length=max_cells))
+
+        acc_c = jnp.zeros((max_cells,), jnp.int32)
+        acc_x = jnp.zeros((max_cells,), jnp.float32)
+        for x0 in range(0, shape[0], 64):
+            xc = min(64, shape[0] - x0)
+            acc_c, acc_x = cx_chunk((acc_c, acc_x), seg, x0, xc)
+        counts_lab = np.asarray(acc_c)
+        cx = np.asarray(acc_x) / np.maximum(counts_lab, 1.0)
         labs_d = np.arange(1, min(n_found, max_cells - 1) + 1)
         owners = maj_truth[labs_d]
         from collections import Counter
@@ -228,7 +257,12 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
             f"{np.percentile(bdist, [10, 50, 90]).round(1).tolist() if bdist else []}"
             f" (uniform would be ~[12, 60, 108])")
         log(f"DIAG: noise label sizes "
-            f"{np.asarray(st.counts)[noise][:20].astype(int).tolist()}")
+            f"{counts_lab[noise][:20].astype(int).tolist()}")
+        dup_sizes = counts_lab[dups]
+        log(f"DIAG: dup label size percentiles "
+            f"{np.percentile(dup_sizes, [10, 50, 90]).round(0).tolist() if len(dups) else []}"
+            f" (median true cell ~ "
+            f"{int(np.median(counts_lab[labs_d][counts_lab[labs_d] > 0]))})")
 
     total_s = sum(timings.values())
     mvox = shape[0] * shape[1] * shape[2] / 1e6
