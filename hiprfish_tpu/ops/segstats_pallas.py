@@ -1,0 +1,317 @@
+"""Pallas TPU kernels for the windowed per-label statistics primitives.
+
+The XLA formulation in ops/segstats.py materializes each band's
+(band_px, width) one-hot through HBM and pays two extra passes for the hi/lo
+split barriers — measured 31 ms for counts+border+67-channel sums and 58 ms
+with moments at 2000^2 (tools/microbench against ~5 ms of unavoidable HBM
+traffic). These kernels keep the one-hot, the feature block, and the whole
+(num_segments, ncols) accumulator in VMEM: per grid step a block of label
+bands (+ image channels) streams in, two bf16 MXU dots per band (hi/lo
+split, exact for the 0/1 and small-integer columns) produce (width, ncols)
+partials, and a dynamic-slice add lands each at its band's id-window
+``base``. Nothing but the inputs and the final table ever touches HBM.
+
+Layout notes (why there are no transposes): the one-hot is built in
+(width, band_px) orientation — a sublane iota compared against the label
+band broadcast along sublanes — so the stats dot contracts over band_px as
+a plain A @ B matmul, and the aux-class histogram is a second one-hot in
+(aux_classes, band_px) orientation dotted as A @ B^T. Expanding a lane
+vector into lanes of a 2D tile would be a relayout; broadcasting it along
+sublanes is free. Pallas requires the second-minor block dim to be a
+multiple of 8, so each grid step carries BANDS_PER_STEP=8 bands and loops
+over them statically.
+
+Semantics (including the spill flag and background-row behavior) match
+segstats._label_stats_windowed / _label_lookup_windowed exactly; callers
+keep their lax.cond exact fallbacks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 2**30
+BANDS_PER_STEP = 8
+
+
+def _band_base(lb):
+    """Window base for one band: min positive label, clipped like the XLA
+    path (segstats._window_onehot)."""
+    pos = jnp.where(lb > 0, lb, _INF)
+    return jnp.min(pos)
+
+
+def _onehot_T(ids, n_rows, band_px, dtype=jnp.bfloat16):
+    """(n_rows, band_px) one-hot: row r is the indicator of ids == r.
+
+    ``ids`` is a (1, band_px) lane vector; the compare broadcasts it along
+    sublanes against a sublane iota — no relayout. Out-of-range ids
+    (negative or >= n_rows) simply match no row.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, band_px), 0)
+    return (rows == ids).astype(dtype)
+
+
+def _split_dot_kernel(a_bf16, b_f32):
+    """a @ b with b hi/lo-split into two bf16 dots, f32 accumulation —
+    exact for 0/1/small-int b columns, ~2^-16 relative for general f32
+    (same error model as segstats._split_dot)."""
+    hi = b_f32.astype(jnp.bfloat16)
+    lo = (b_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    part = jax.lax.dot_general(a_bf16, hi, dn,
+                               preferred_element_type=jnp.float32)
+    part += jax.lax.dot_general(a_bf16, lo, dn,
+                                preferred_element_type=jnp.float32)
+    return part
+
+
+def _stats_kernel(lab_ref, *rest, acc, spill, out_ref, spill_ref,
+                  nsteps, band_px, width, num_segments, n, h, w,
+                  nchan, aux_classes, moments, has_mask):
+    """BANDS_PER_STEP bands per grid step; ``rest`` holds (img_ref?,
+    aux_ref?) by presence. img carries the mask as its LAST channel when
+    has_mask."""
+    i = pl.program_id(0)
+    img_ref = rest[0] if (nchan or has_mask) else None
+    aux_ref = rest[1 if img_ref is not None else 0] if aux_classes else None
+
+    @pl.when(i == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+        spill[0] = 0
+
+    def band_body(b, any_spill):
+        lb = lab_ref[pl.ds(b, 1), :]                     # (1, band_px) i32
+        base = jnp.clip(_band_base(lb), 0, num_segments - 1)
+        loc = lb - base
+        inw = (lb > 0) & (loc >= 0) & (loc < width)
+        any_spill |= jnp.any((lb > 0) & ~inw).astype(jnp.int32)
+        oh = _onehot_T(jnp.where(inw, loc, -1), width, band_px)
+
+        # Feature block (band_px, ncols): [ones, border, moments?,
+        # channels (masked if has_mask), mask?] — positional columns built
+        # from the band's global linear indices, nothing precomputed in HBM.
+        band_i = i * BANDS_PER_STEP + b
+        gidx = band_i * band_px + jax.lax.broadcasted_iota(
+            jnp.int32, (band_px, 1), 0)
+        row = gidx // w
+        col = gidx - row * w
+        border = (((row == 0) | (row == h - 1) | (col == 0)
+                   | (col == w - 1)) & (gidx < n)).astype(jnp.float32)
+        cols = [jnp.ones((band_px, 1), jnp.float32), border]
+        if moments:
+            rf = row.astype(jnp.float32)
+            cf = col.astype(jnp.float32)
+            cols.append(jnp.concatenate(
+                [rf, cf, rf * rf, cf * cf, rf * cf], axis=1))
+        if img_ref is not None:
+            ib = img_ref[pl.ds(b, 1)][0]                 # (band_px, C[+1])
+            if has_mask:
+                mb = ib[:, nchan:nchan + 1]
+                if nchan:
+                    cols.append(ib[:, :nchan] * mb)
+                cols.append(mb)
+            else:
+                cols.append(ib)
+        feat = jnp.concatenate(cols, axis=1)
+        part = _split_dot_kernel(oh, feat)               # (width, ncols)
+        if aux_classes:
+            aux_oh = _onehot_T(aux_ref[pl.ds(b, 1), :], aux_classes,
+                               band_px)
+            hist = jax.lax.dot_general(
+                oh, aux_oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (width, A)
+            # aux histogram columns sit between the channel sums and the
+            # mask count, matching _label_stats_windowed's column order
+            if has_mask:
+                part = jnp.concatenate(
+                    [part[:, :-1], hist, part[:, -1:]], axis=1)
+            else:
+                part = jnp.concatenate([part, hist], axis=1)
+        acc[pl.ds(base, width), :] += part
+        return any_spill
+
+    # fori_loop (not a Python unroll): 8 unrolled bands keep 8 one-hots +
+    # feature blocks live at once and blow the scoped-VMEM stack (measured
+    # 62 MB vs the 16 MB limit)
+    any_spill = jax.lax.fori_loop(0, BANDS_PER_STEP, band_body,
+                                  jnp.int32(0))
+
+    @pl.when(any_spill > 0)
+    def _():
+        spill[0] = 1
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:, :] = acc[:, :]
+        spill_ref[0] = spill[0]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def stats_pallas(labels, image, aux, num_segments: int, width: int,
+                 band_px: int, aux_classes: int, moments: bool,
+                 has_mask: bool, h: int, w: int):
+    """Banded one-hot label stats on TPU.
+
+    ``labels``: any shape, flattened internally. ``image``: (..., C[+1]) f32
+    with the 0/1 mask appended as the last channel when ``has_mask`` (the
+    caller packs it — keeps the kernel's input count static). ``aux``: int32
+    image in [0, aux_classes). Returns (acc (num_segments, ncols) f32,
+    spilled bool) with the column order of segstats._label_stats_windowed:
+    [count, border, moments*5?, channel sums, aux hist?, mask count?].
+    """
+    n = labels.size
+    nb_raw = -(-n // band_px)
+    nsteps = -(-nb_raw // BANDS_PER_STEP)
+    nb = nsteps * BANDS_PER_STEP
+    pad = nb * band_px - n
+    lab_b = labels.reshape(-1)
+    if pad:
+        lab_b = jnp.pad(lab_b, (0, pad))
+    lab_b = lab_b.reshape(nb, band_px)
+
+    nchan = 0
+    inputs = [lab_b]
+    in_specs = [pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0))]
+    if image is not None:
+        nchan = image.shape[-1] - (1 if has_mask else 0)
+        cc = image.shape[-1]
+        img_f = image.reshape(-1, cc).astype(jnp.float32)
+        if pad:
+            img_f = jnp.pad(img_f, ((0, pad), (0, 0)))
+        inputs.append(img_f.reshape(nb, band_px, cc))
+        in_specs.append(
+            pl.BlockSpec((BANDS_PER_STEP, band_px, cc),
+                         lambda i: (i, 0, 0)))
+    if aux is not None:
+        aux_f = aux.reshape(-1).astype(jnp.int32)
+        if pad:
+            aux_f = jnp.pad(aux_f, (0, pad))
+        inputs.append(aux_f.reshape(nb, band_px))
+        in_specs.append(
+            pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)))
+
+    nmom = 5 if moments else 0
+    ncols = 2 + nmom + nchan + (aux_classes if aux is not None else 0) \
+        + (1 if has_mask else 0)
+
+    kernel = functools.partial(
+        _stats_kernel, nsteps=nsteps, band_px=band_px, width=width,
+        num_segments=num_segments, n=n, h=h, w=w, nchan=nchan,
+        aux_classes=aux_classes if aux is not None else 0,
+        moments=moments, has_mask=has_mask)
+
+    def wrapped(lab_ref, *rest_and_out):
+        rest = rest_and_out[:-4]
+        out_ref, spill_ref, acc, spill = rest_and_out[-4:]
+        kernel(lab_ref, *rest, acc=acc, spill=spill, out_ref=out_ref,
+               spill_ref=spill_ref)
+
+    acc, spilled = pl.pallas_call(
+        wrapped,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((num_segments + width, ncols), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_segments + width, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_segments + width, ncols), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*inputs)
+    return acc[:num_segments], spilled[0] > 0
+
+
+def _lookup_kernel(lab_ref, tab_ref, out_ref, spill_ref, spill,
+                   *, nsteps, band_px, width, num_segments):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        spill[0] = 0
+
+    def band_body(b, any_spill):
+        lb = lab_ref[pl.ds(b, 1), :]
+        base = jnp.clip(_band_base(lb), 0, num_segments - 1)
+        loc = lb - base
+        inw = (lb > 0) & (loc >= 0) & (loc < width)
+        any_spill |= jnp.any((lb > 0) & ~inw).astype(jnp.int32)
+        oh = _onehot_T(jnp.where(inw, loc, -1), width, band_px)
+        tsl = tab_ref[pl.ds(base, width), :]              # (width, 1)
+        # (1, band_px) = tsl^T @ oh — contraction over width (sublanes of
+        # both), so no relayout; hi/lo split keeps small-int tables exact.
+        hi = tsl.astype(jnp.bfloat16)
+        lo = (tsl - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        vals = jax.lax.dot_general(hi, oh, dn,
+                                   preferred_element_type=jnp.float32)
+        vals += jax.lax.dot_general(lo, oh, dn,
+                                    preferred_element_type=jnp.float32)
+        out_ref[pl.ds(b, 1), :] = vals
+        return any_spill
+
+    any_spill = jax.lax.fori_loop(0, BANDS_PER_STEP, band_body,
+                                  jnp.int32(0))
+
+    @pl.when(any_spill > 0)
+    def _():
+        spill[0] = 1
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        spill_ref[0] = spill[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def lookup_pallas(labels, table, width: int, band_px: int, num_segments: int):
+    """Gather-free table[labels] on TPU (f32 result, caller casts)."""
+    n = labels.size
+    nb_raw = -(-n // band_px)
+    nsteps = -(-nb_raw // BANDS_PER_STEP)
+    nb = nsteps * BANDS_PER_STEP
+    pad = nb * band_px - n
+    lab_b = labels.reshape(-1)
+    if pad:
+        lab_b = jnp.pad(lab_b, (0, pad))
+    lab_b = lab_b.reshape(nb, band_px)
+    tab = jnp.pad(table.astype(jnp.float32), (0, width)).reshape(-1, 1)
+
+    kernel = functools.partial(_lookup_kernel, nsteps=nsteps,
+                               band_px=band_px, width=width,
+                               num_segments=num_segments)
+
+    def wrapped(lab_ref, tab_ref, out_ref, spill_ref, spill):
+        kernel(lab_ref, tab_ref, out_ref, spill_ref, spill)
+
+    vals, spilled = pl.pallas_call(
+        wrapped,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)),
+            pl.BlockSpec((num_segments + width, 1), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, band_px), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(lab_b, tab)
+    out = vals.reshape(-1)[:n].reshape(labels.shape)
+    return out, spilled[0] > 0

@@ -154,10 +154,36 @@ def classify_device(avgint_norm, check_params, check_blocks, scaler_mean,
     return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def classify_capped(spectra_rows, n_cells, cap, *clf_args):
+    """classify_device on only the first `cap` of the max_cells-padded rows.
+
+    Real cell counts (~400-2500/FOV) are far below the max_cells=8192 safety
+    padding, yet the classifier GEMMs, check-head MLPs and vote scatter all
+    ran over every padded row — the 1023-class kNN alone was 30.8 ms of the
+    244 ms 10-bit step. Labels are sequential (1..n_cells), so when
+    n_cells < cap only rows [:cap] can hold cells; a lax.cond falls back to
+    the full-width program for denser scenes, so results are identical for
+    any n_cells.
+    """
+    n = spectra_rows.shape[0]
+    if cap is None or cap >= n:
+        return classify_device(spectra_rows, *clf_args)
+
+    def small(rows):
+        ci, mp = classify_device(rows[:cap], *clf_args)
+        return (jnp.zeros((n,), ci.dtype).at[:cap].set(ci),
+                jnp.zeros((n,), mp.dtype).at[:cap].set(mp))
+
+    def full(rows):
+        return classify_device(rows, *clf_args)
+
+    return jax.lax.cond(n_cells < cap, small, full, spectra_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
              clf_static, denoise: bool = True,
-             pallas_ok: bool = True) -> FovResult:
+             pallas_ok: bool = True, classify_cap: int = 2048) -> FovResult:
     """The flagship forward step: raw per-laser planes -> barcode calls.
 
     clf_arrays: dict of classifier arrays (train_features (N, D) f32,
@@ -192,8 +218,8 @@ def fov_step(stack, clf_arrays, cfg: SegmentationConfig, max_cells: int,
     avgint = avgint.at[0].set(0.0)
     avgint_norm = avgint / jnp.maximum(
         jnp.max(avgint, axis=1, keepdims=True), 1e-12)
-    code_idx, max_prob = classify_device(
-        avgint_norm,
+    code_idx, max_prob = classify_capped(
+        avgint_norm, n_cells, classify_cap,
         clf_arrays["check_params"],
         check_blocks,
         clf_arrays.get("scaler_mean"),

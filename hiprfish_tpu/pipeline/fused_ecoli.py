@@ -158,9 +158,9 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     return seg_final, n_cells, registered, avgint
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fov_step_ecoli(stack, clf_arrays, cfg: SegmentationConfig,
-                   max_cells: int, clf_static):
+                   max_cells: int, clf_static, classify_cap: int = 2048):
     """Single-program 10-bit forward step: raw per-laser planes -> barcode
     class indices (the ecoli counterpart of fused.fov_step; classification
     is the 132-d feature build + 6 check heads + gated kNN of
@@ -177,8 +177,8 @@ def fov_step_ecoli(stack, clf_arrays, cfg: SegmentationConfig,
     lo, hi = blocks[0]
     feats_base = jnp.concatenate(
         [avgint_norm, jnp.diff(avgint_norm[:, lo:hi], axis=1)], axis=1)
-    code_idx, max_prob = fused.classify_device(
-        feats_base,
+    code_idx, max_prob = fused.classify_capped(
+        feats_base, n_cells, classify_cap,
         clf_arrays["check_params"],
         check_blocks,
         clf_arrays.get("scaler_mean"),

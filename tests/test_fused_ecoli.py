@@ -36,3 +36,58 @@ def test_fused_ecoli_matches_host_engine():
         assert best > 0 and iou > 0.8, (lab_id, best, iou)
     np.testing.assert_allclose(np.asarray(reg_f),
                                np.asarray(res_h.registered), rtol=1e-5)
+
+
+def test_classify_capped_matches_full():
+    """classify_capped (static row cap + lax.cond fallback) must agree with
+    the uncapped classify_device in both regimes: n_cells under the cap
+    (small branch) and at/over it (full-width fallback)."""
+    import jax
+
+    from hiprfish_tpu.config import ClassifierConfig
+    from hiprfish_tpu.models import train as mtrain
+    from hiprfish_tpu.models.classifier import train_classifier
+    from hiprfish_tpu.pipeline import fused
+
+    rng = np.random.RandomState(0)
+    codes = [5, 37, 515, 1023]
+    lut = synthetic.fluorophore_spectra(TEN_BIT)
+    rows, cs = [], []
+    for c in codes:
+        spec = synthetic.barcode_spectrum(TEN_BIT, c, lut)
+        r = np.clip(rng.uniform(0.8, 1.2, (12, 1)) * spec[None, :]
+                    + rng.randn(12, TEN_BIT.n_channels) * 0.01, 0, None)
+        rows.append(r)
+        cs += [TEN_BIT.code_str(c)] * 12
+    spectra = np.concatenate(rows).astype(np.float32)
+    spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
+    spectra = np.concatenate(
+        [spectra, np.diff(spectra[:, :32], axis=1)], axis=1)
+    clf = train_classifier(jax.random.PRNGKey(0), TEN_BIT, spectra, cs,
+                           mtrain.check_bits_for_codes(TEN_BIT, cs),
+                           ClassifierConfig(check_train_steps=30),
+                           violet_derivative=True)
+    arrays, static = fused.classifier_to_device_args(clf)
+    (n_classes, blocks, check_slice, n_channels, k, temperature,
+     check_blocks) = static
+    clf_args = (arrays["check_params"], check_blocks,
+                arrays.get("scaler_mean"), arrays.get("scaler_scale"),
+                arrays["train_features"], arrays["train_labels"],
+                n_classes, blocks, check_slice, n_channels, k, temperature)
+
+    n_pad = 64
+    feats = np.zeros((n_pad, spectra.shape[1]), np.float32)
+    n_real = 7
+    feats[1:1 + n_real] = spectra[rng.choice(len(spectra), n_real)]
+    feats = jnp.asarray(feats)
+
+    ref_idx, ref_prob = fused.classify_device(feats, *clf_args)
+    for n_cells, cap in ((n_real, 16), (20, 16)):
+        got_idx, got_prob = fused.classify_capped(
+            feats, jnp.int32(n_cells), cap, *clf_args)
+        rows_chk = slice(1, 1 + min(n_cells, n_real))
+        np.testing.assert_array_equal(np.asarray(got_idx)[rows_chk],
+                                      np.asarray(ref_idx)[rows_chk])
+        np.testing.assert_allclose(np.asarray(got_prob)[rows_chk],
+                                   np.asarray(ref_prob)[rows_chk],
+                                   rtol=1e-5)
