@@ -312,6 +312,12 @@ def lookup_pallas(labels, table, width: int, band_px: int, num_segments: int):
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        # The iota/compare intermediates of the (width, band_px) one-hot
+        # live on the scoped-VMEM stack (~35 MB at band_px=8160) — the
+        # 16 MB default rejects them at compile time on big-volume lookups
+        # (3D relabel) even though the true block footprint is small.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(lab_b, tab)
     out = vals.reshape(-1)[:n].reshape(labels.shape)
     return out, spilled[0] > 0
