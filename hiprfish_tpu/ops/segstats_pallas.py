@@ -235,6 +235,122 @@ def stats_pallas(labels, image, aux, num_segments: int, width: int,
     return acc[:num_segments], spilled[0] > 0
 
 
+def _stats_cm_kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill, *,
+                     nsteps, band_px, width, num_segments, nchan):
+    """Channels-major per-label [count, channel sums]: ``img_ref`` blocks
+    arrive as (C, BANDS_PER_STEP, band_px) so the sums dot contracts
+    band_px against band_px (oh @ img^T) — no channels-last relayout and
+    no 63->128 lane padding on the big operand. Used by the streamed 3D
+    measurement where the spectral slabs are generated/loaded (C, ...)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+        spill[0] = 0
+
+    def band_body(b, any_spill):
+        lb = lab_ref[pl.ds(b, 1), :]                     # (1, band_px)
+        base = jnp.clip(_band_base(lb), 0, num_segments - 1)
+        loc = lb - base
+        inw = (lb > 0) & (loc >= 0) & (loc < width)
+        any_spill |= jnp.any((lb > 0) & ~inw).astype(jnp.int32)
+        # One-hot in (band_px, width) orientation: only the (1, band_px)
+        # label vector is lane->sublane transposed (8K elements). Keeping
+        # the big operands untransposed matters: the feature block arrives
+        # band-major (the wrapper pre-permutes), so its band slice is a
+        # free major-dim read — a sublane-dim slice + sublane-offset
+        # concatenate ran the 63-channel plane at 81 ms instead of ~20
+        # (measured), dwarfing both MXU dots.
+        locT = jnp.where(inw, loc, -1).swapaxes(0, 1)    # (band_px, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (band_px, width), 1)
+        oh = (cols == locT).astype(jnp.bfloat16)
+        feat = img_ref[pl.ds(b, 1)][0]                   # (C, band_px) f32
+        hi = feat.astype(jnp.bfloat16)
+        lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))                    # contract band_px
+        part = jax.lax.dot_general(hi, oh, dn,
+                                   preferred_element_type=jnp.float32)
+        part += jax.lax.dot_general(lo, oh, dn,
+                                    preferred_element_type=jnp.float32)
+        # counts via a cross-SUBLANE sum of the one-hot (cheap; the
+        # cross-lane orientation of the same sum was the dominant cost)
+        counts = jnp.sum(oh.astype(jnp.float32), axis=0, keepdims=True)
+        acc[pl.ds(base, width), :1] += counts.swapaxes(0, 1)
+        acc[pl.ds(base, width), 1:] += part.swapaxes(0, 1)
+        return any_spill
+
+    any_spill = jax.lax.fori_loop(0, BANDS_PER_STEP, band_body,
+                                  jnp.int32(0))
+
+    @pl.when(any_spill > 0)
+    def _():
+        spill[0] = 1
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[:, :] = acc[:, :]
+        spill_ref[0] = spill[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
+                    band_px: int):
+    """Banded [count, channel sums] for a channels-major image.
+
+    ``labels``: any shape, flattened; ``img_cm``: (C,) + labels.shape f32.
+    Returns (acc (num_segments, 1 + C) f32, spilled bool)."""
+    n = labels.size
+    nchan = img_cm.shape[0]
+    nb_raw = -(-n // band_px)
+    nsteps = -(-nb_raw // BANDS_PER_STEP)
+    nb = nsteps * BANDS_PER_STEP
+    pad = nb * band_px - n
+    lab_b = labels.reshape(-1)
+    img_f = img_cm.reshape(nchan, -1).astype(jnp.float32)
+    if pad:
+        lab_b = jnp.pad(lab_b, (0, pad))
+        img_f = jnp.pad(img_f, ((0, 0), (0, pad)))
+    lab_b = lab_b.reshape(nb, band_px)
+    # band-major (nb, C, band_px): a major-dim permutation (full-lane
+    # copies) so the kernel's per-band feature slice is free
+    img_f = img_f.reshape(nchan, nb, band_px).transpose(1, 0, 2)
+
+    kernel = functools.partial(_stats_cm_kernel, nsteps=nsteps,
+                               band_px=band_px, width=width,
+                               num_segments=num_segments, nchan=nchan)
+
+    def wrapped(lab_ref, img_ref, out_ref, spill_ref, acc, spill):
+        kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill)
+
+    acc, spilled = pl.pallas_call(
+        wrapped,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)),
+            pl.BlockSpec((BANDS_PER_STEP, nchan, band_px),
+                         lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_segments + width, 1 + nchan),
+                         lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_segments + width, 1 + nchan),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_segments + width, 1 + nchan), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(lab_b, img_f)
+    return acc[:num_segments], spilled[0] > 0
+
+
 def _lookup_kernel(lab_ref, tab_ref, out_ref, spill_ref, spill,
                    *, nsteps, band_px, width, num_segments):
     i = pl.program_id(0)

@@ -704,6 +704,37 @@ def _accumulate_chunk_cm(sums_cm, counts, labels_slab, chunk_cm):
     return sums_cm, counts
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _accumulate_plane_banded(acc, labels_plane, img_plane_cm, width):
+    """One z-plane of the streamed measurement as a banded one-hot matmul
+    (ops/segstats_pallas.stats_cm_pallas) — the XLA scatter formulation was
+    231 ms per 2-plane slab at 2020^2 (19.6 s over the reference volume);
+    the banded dots run at MXU speed. Global cell ranks ascend with the
+    owning tile's x-position (rank_labels min-linear-index order survives
+    the boundary union-find remap), so the ids in any raster band sit in a
+    ``width`` window; a window spill falls back to the exact scatter."""
+    from hiprfish_tpu.ops import segstats
+    from hiprfish_tpu.ops import segstats_pallas as sp
+
+    num_segments = acc.shape[0]
+    c = img_plane_cm.shape[0]
+    band_px = segstats._pick_band_px(labels_plane.size, 8192)
+    out, spill = sp.stats_cm_pallas(labels_plane, img_plane_cm,
+                                    num_segments, width, band_px)
+
+    def _exact(lab, img):
+        idx = lab.reshape(-1)
+        z = jnp.zeros((num_segments, 1 + c), jnp.float32)
+        z = z.at[:, 0].add(
+            jnp.zeros((num_segments,)).at[idx].add(1.0))
+        return z.at[:, 1:].add(
+            jnp.zeros((c, num_segments)).at[:, idx]
+            .add(img.reshape(c, -1)).T)
+
+    return acc + jax.lax.cond(spill, _exact, lambda l, i: out,
+                              labels_plane, img_plane_cm)
+
+
 def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
                             n_channels: int, max_cells: int,
                             channels_major: bool = False):
@@ -719,6 +750,22 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
     layout that avoids the minor-dim channel padding (see
     _accumulate_chunk_cm); otherwise (X, Y, zc, C)."""
     if channels_major:
+        if jax.default_backend() not in ("cpu", "gpu"):
+            # banded-matmul path: transpose the label volume once so each
+            # z-plane is a contiguous slab (slicing the minor z axis of
+            # (X, Y, Z) re-reads whole lane tiles per plane), then run one
+            # stats_cm_pallas call per plane
+            seg_zxy = jnp.transpose(seg, (2, 0, 1))
+            acc = jnp.zeros((max_cells, 1 + n_channels), jnp.float32)
+            for z0 in range(0, z_total, z_chunk):
+                zc = min(z_chunk, z_total - z0)
+                chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+                for p in range(zc):
+                    acc = _accumulate_plane_banded(
+                        acc, jax.lax.dynamic_slice_in_dim(
+                            seg_zxy, z0 + p, 1, 0)[0],
+                        chunk[:, p], 512)
+            return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
         sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
         counts = jnp.zeros((max_cells,), jnp.float32)
         for z0 in range(0, z_total, z_chunk):

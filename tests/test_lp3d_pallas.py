@@ -61,3 +61,26 @@ def test_fused_kernel_matches_xla_sweep_tpu(rng):
     ref = np.asarray(segment3d._lp_cv_3d_device(vol, 11, 9, 9, 64, True))
     got = np.asarray(lp3d_pallas.lp_cv_enhance_3d_fused(vol, 11, 9, 9))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_measure_volume_streamed_cm_matches_numpy(rng):
+    # CPU takes the scatter path; on TPU the same call runs the banded
+    # stats_cm_pallas kernel — both must match the numpy oracle.
+    from hiprfish_tpu.pipeline import segment3d
+
+    X, Y, Z, C, mc = 64, 48, 10, 5, 32
+    lab = np.zeros((X, Y, Z), np.int32)
+    nid = 0
+    for x0 in range(0, X, 16):
+        for y0 in range(0, Y, 16):
+            nid += 1
+            lab[x0 + 2:x0 + 10, y0 + 2:y0 + 12, 3:9] = nid
+    data = rng.rand(C, Z, X, Y).astype(np.float32)
+
+    avg = np.asarray(segment3d.measure_volume_streamed(
+        jnp.asarray(lab), lambda z0, zc: jnp.asarray(data[:, z0:z0 + zc]),
+        Z, 2, C, mc, channels_major=True))
+    for i in range(1, nid + 1):
+        m = lab == i
+        expect = data[:, np.transpose(m, (2, 0, 1))].mean(axis=1)
+        np.testing.assert_allclose(avg[i], expect, atol=1e-4)
