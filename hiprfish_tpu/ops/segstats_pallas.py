@@ -255,29 +255,36 @@ def _stats_cm_kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill, *,
         loc = lb - base
         inw = (lb > 0) & (loc >= 0) & (loc < width)
         any_spill |= jnp.any((lb > 0) & ~inw).astype(jnp.int32)
-        # One-hot in (band_px, width) orientation: only the (1, band_px)
-        # label vector is lane->sublane transposed (8K elements). Keeping
-        # the big operands untransposed matters: the feature block arrives
-        # band-major (the wrapper pre-permutes), so its band slice is a
-        # free major-dim read — a sublane-dim slice + sublane-offset
-        # concatenate ran the 63-channel plane at 81 ms instead of ~20
-        # (measured), dwarfing both MXU dots.
-        locT = jnp.where(inw, loc, -1).swapaxes(0, 1)    # (band_px, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (band_px, width), 1)
-        oh = (cols == locT).astype(jnp.bfloat16)
-        feat = img_ref[pl.ds(b, 1)][0]                   # (C, band_px) f32
-        hi = feat.astype(jnp.bfloat16)
-        lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))                    # contract band_px
-        part = jax.lax.dot_general(hi, oh, dn,
-                                   preferred_element_type=jnp.float32)
-        part += jax.lax.dot_general(lo, oh, dn,
-                                    preferred_element_type=jnp.float32)
-        # counts via a cross-SUBLANE sum of the one-hot (cheap; the
-        # cross-lane orientation of the same sum was the dominant cost)
-        counts = jnp.sum(oh.astype(jnp.float32), axis=0, keepdims=True)
-        acc[pl.ds(base, width), :1] += counts.swapaxes(0, 1)
-        acc[pl.ds(base, width), 1:] += part.swapaxes(0, 1)
+
+        # Fully-background bands (common in 3D z-planes between cell
+        # layers) skip the one-hot and both dots entirely.
+        @pl.when(jnp.any(lb > 0))
+        def _():
+            # One-hot in (band_px, width) orientation: only the
+            # (1, band_px) label vector is lane->sublane transposed (8K
+            # elements). Keeping the big operands untransposed matters:
+            # the feature block arrives band-major (the wrapper
+            # pre-permutes), so its band slice is a free major-dim read —
+            # a sublane-dim slice + sublane-offset concatenate ran the
+            # 63-channel plane at 81 ms instead of ~20 (measured),
+            # dwarfing both MXU dots.
+            locT = jnp.where(inw, loc, -1).swapaxes(0, 1)  # (band_px, 1)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (band_px, width), 1)
+            oh = (cols == locT).astype(jnp.bfloat16)
+            # Row 0 of the feature block is the wrapper's constant-ones
+            # channel, so part[0] is the per-label pixel count — no
+            # separate one-hot reduction or second accumulator update.
+            feat = img_ref[pl.ds(b, 1)][0]               # (1+C, band_px)
+            hi = feat.astype(jnp.bfloat16)
+            lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))                # contract band_px
+            part = jax.lax.dot_general(hi, oh, dn,
+                                       preferred_element_type=jnp.float32)
+            part += jax.lax.dot_general(lo, oh, dn,
+                                        preferred_element_type=jnp.float32)
+            acc[pl.ds(base, width), :] += part.swapaxes(0, 1)
+
         return any_spill
 
     any_spill = jax.lax.fori_loop(0, BANDS_PER_STEP, band_body,
@@ -293,28 +300,49 @@ def _stats_cm_kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill, *,
         spill_ref[0] = spill[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
-                    band_px: int):
+                    band_px: int, n_planes: int = 1):
     """Banded [count, channel sums] for a channels-major image.
 
     ``labels``: any shape, flattened; ``img_cm``: (C,) + labels.shape f32.
-    Returns (acc (num_segments, 1 + C) f32, spilled bool)."""
+    Returns (acc (num_segments, 1 + C) f32, spilled bool).
+
+    ``n_planes > 1``: the flattened pixels are ``n_planes`` equal-size
+    z-planes, and each plane is band-padded SEPARATELY. Cell ids ascend
+    with the owning tile's x-position, so ids within one plane's raster
+    band sit in a narrow window — but a band straddling two planes would
+    mix end-of-plane ids with start-of-plane ids (the full id range) and
+    force the spill fallback on every call. Plane-pure padding keeps the
+    window assumption while batching a whole z-chunk into one dispatch."""
     n = labels.size
     nchan = img_cm.shape[0]
-    nb_raw = -(-n // band_px)
+    plane_px = n // n_planes
+    assert plane_px * n_planes == n, (n, n_planes)
+    nb_p = -(-plane_px // band_px)
+    nb_raw = nb_p * n_planes
     nsteps = -(-nb_raw // BANDS_PER_STEP)
     nb = nsteps * BANDS_PER_STEP
-    pad = nb * band_px - n
-    lab_b = labels.reshape(-1)
-    img_f = img_cm.reshape(nchan, -1).astype(jnp.float32)
-    if pad:
-        lab_b = jnp.pad(lab_b, (0, pad))
-        img_f = jnp.pad(img_f, ((0, 0), (0, pad)))
-    lab_b = lab_b.reshape(nb, band_px)
-    # band-major (nb, C, band_px): a major-dim permutation (full-lane
+    lab_b = labels.reshape(n_planes, plane_px)
+    img_f = img_cm.reshape(nchan, n_planes, plane_px).astype(jnp.float32)
+    # Constant-ones channel 0: the kernel's sums dot then yields counts in
+    # its first output row for free (63 data channels -> an exact 64-row
+    # block, no sublane padding).
+    img_f = jnp.concatenate(
+        [jnp.ones((1, n_planes, plane_px), jnp.float32), img_f])
+    pad_p = nb_p * band_px - plane_px
+    if pad_p:
+        lab_b = jnp.pad(lab_b, ((0, 0), (0, pad_p)))
+        img_f = jnp.pad(img_f, ((0, 0), (0, 0), (0, pad_p)))
+    lab_b = lab_b.reshape(nb_raw, band_px)
+    img_f = img_f.reshape(1 + nchan, nb_raw, band_px)
+    tail = nb - nb_raw
+    if tail:
+        lab_b = jnp.pad(lab_b, ((0, tail), (0, 0)))
+        img_f = jnp.pad(img_f, ((0, 0), (0, tail), (0, 0)))
+    # band-major (nb, 1+C, band_px): a major-dim permutation (full-lane
     # copies) so the kernel's per-band feature slice is free
-    img_f = img_f.reshape(nchan, nb, band_px).transpose(1, 0, 2)
+    img_f = img_f.transpose(1, 0, 2)
 
     kernel = functools.partial(_stats_cm_kernel, nsteps=nsteps,
                                band_px=band_px, width=width,
@@ -328,7 +356,7 @@ def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)),
-            pl.BlockSpec((BANDS_PER_STEP, nchan, band_px),
+            pl.BlockSpec((BANDS_PER_STEP, 1 + nchan, band_px),
                          lambda i: (i, 0, 0)),
         ],
         out_specs=[

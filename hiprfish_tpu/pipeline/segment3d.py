@@ -704,23 +704,26 @@ def _accumulate_chunk_cm(sums_cm, counts, labels_slab, chunk_cm):
     return sums_cm, counts
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _accumulate_plane_banded(acc, labels_plane, img_plane_cm, width):
-    """One z-plane of the streamed measurement as a banded one-hot matmul
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _accumulate_planes_banded(acc, labels_zxy, img_cm, width, n_planes):
+    """One z-chunk of the streamed measurement as banded one-hot matmuls
     (ops/segstats_pallas.stats_cm_pallas) — the XLA scatter formulation was
     231 ms per 2-plane slab at 2020^2 (19.6 s over the reference volume);
     the banded dots run at MXU speed. Global cell ranks ascend with the
     owning tile's x-position (rank_labels min-linear-index order survives
-    the boundary union-find remap), so the ids in any raster band sit in a
-    ``width`` window; a window spill falls back to the exact scatter."""
+    the boundary union-find remap), so the ids in any plane's raster band
+    sit in a ``width`` window (plane-pure band padding keeps cross-plane
+    bands from mixing id ranges); a window spill falls back to the exact
+    scatter. ``labels_zxy``: (zc, X, Y); ``img_cm``: (C, zc, X, Y)."""
     from hiprfish_tpu.ops import segstats
     from hiprfish_tpu.ops import segstats_pallas as sp
 
     num_segments = acc.shape[0]
-    c = img_plane_cm.shape[0]
-    band_px = segstats._pick_band_px(labels_plane.size, 8192)
-    out, spill = sp.stats_cm_pallas(labels_plane, img_plane_cm,
-                                    num_segments, width, band_px)
+    c = img_cm.shape[0]
+    plane_px = labels_zxy.size // n_planes
+    band_px = segstats._pick_band_px(plane_px, 8192)
+    out, spill = sp.stats_cm_pallas(labels_zxy, img_cm, num_segments,
+                                    width, band_px, n_planes)
 
     def _exact(lab, img):
         idx = lab.reshape(-1)
@@ -732,7 +735,7 @@ def _accumulate_plane_banded(acc, labels_plane, img_plane_cm, width):
             .add(img.reshape(c, -1)).T)
 
     return acc + jax.lax.cond(spill, _exact, lambda l, i: out,
-                              labels_plane, img_plane_cm)
+                              labels_zxy, img_cm)
 
 
 def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
@@ -760,11 +763,9 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
             for z0 in range(0, z_total, z_chunk):
                 zc = min(z_chunk, z_total - z0)
                 chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
-                for p in range(zc):
-                    acc = _accumulate_plane_banded(
-                        acc, jax.lax.dynamic_slice_in_dim(
-                            seg_zxy, z0 + p, 1, 0)[0],
-                        chunk[:, p], 512)
+                acc = _accumulate_planes_banded(
+                    acc, jax.lax.dynamic_slice_in_dim(seg_zxy, z0, zc, 0),
+                    chunk, 512, zc)
             return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
         sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
         counts = jnp.zeros((max_cells,), jnp.float32)

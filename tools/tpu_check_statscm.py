@@ -87,16 +87,19 @@ def main():
           f"{min(ts) * 1e3:.1f} ms best of 5 {[f'{t*1e3:.0f}' for t in ts]}")
 
     acc0 = jnp.zeros((mc, 1 + C), jnp.float32)
-    g = segment3d._accumulate_plane_banded
+    g = segment3d._accumulate_planes_banded
+    lab2 = jnp.stack([labd, labd])                     # (2, P, P) chunk
+    img2 = jnp.stack([imgd, imgd], axis=1)             # (C, 2, P, P)
     t0 = time.time()
-    g(acc0, labd, imgd, width).block_until_ready()
-    print(f"accumulate_plane compile+run: {time.time() - t0:.1f}s")
+    g(acc0, lab2, img2, width, 2).block_until_ready()
+    print(f"accumulate 2-plane compile+run: {time.time() - t0:.1f}s")
     ts = []
     for _ in range(5):
         t0 = time.time()
-        g(acc0, labd, imgd, width).block_until_ready()
+        g(acc0, lab2, img2, width, 2).block_until_ready()
         ts.append(time.time() - t0)
-    print(f"accumulate_plane_banded: {min(ts) * 1e3:.1f} ms best of 5")
+    print(f"accumulate_planes_banded (2 planes): {min(ts) * 1e3:.1f} ms "
+          f"best of 5 ({min(ts) * 5e2:.1f} ms/plane)")
     print("ALL OK")
 
 
