@@ -422,6 +422,33 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
             jnp.transpose(planes, (0, 2, 1)))
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _segment_tile_at(enhanced_p, bkg_p, thresholds, start, statics, shapes):
+    """Slab slice + tile segmentation as ONE dispatched program. The host
+    tile loop previously issued two eager ~260 MB slice ops plus the jit
+    call per tile — three synchronous dispatch RPCs through the tunneled
+    TPU platform (1.67 s wall vs 1.16 s device per tile, measured). A
+    traced ``start`` keeps this a single executable for every tile, and
+    lets warmup precompile it from ShapeDtypeStructs alone."""
+    tile_x, margin = shapes
+    slab_x = tile_x + 2 * margin
+    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
+    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, y, z))
+    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, y, z))
+    return _segment_one_tile(enh, bkg, thresholds, statics, shapes)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _remap_tile(labels, table, width):
+    """Jitted remap of one tile's labels through its slice of the global
+    union-find table — one dispatch per tile instead of the handful of
+    eager ops inside label_lookup, and AOT-precompilable by warmup."""
+    from hiprfish_tpu.ops import segstats
+
+    return segstats.label_lookup(labels, table, width=width,
+                                 out_dtype=jnp.int32)
+
+
 def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
     """Mesh-sharded sweep of _segment_one_tile: tiles are independent until
     the host union-find, so the slab batch shards over the mesh's 'fov'
@@ -491,23 +518,16 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
     enhanced_p, bkg_p = boxes.pop()
     outs, presents, planes = [], [], []
     for t in range(n_tiles):
-        start = t * tile_x
-        enh = jax.lax.slice(enhanced_p, (start, 0, 0),
-                            (start + slab_x, enhanced_p.shape[1],
-                             enhanced_p.shape[2]))
-        bkg = jax.lax.slice(bkg_p, (start, 0, 0),
-                            (start + slab_x, bkg_p.shape[1],
-                             bkg_p.shape[2]))
-        o, p, pl = _segment_one_tile(
-            enh, bkg, thresholds, (seed_min, ccl_iters, ws_iters, tile_cap),
-            (tile_x, margin))
+        o, p, pl = _segment_tile_at(
+            enhanced_p, bkg_p, thresholds, np.int32(t * tile_x),
+            (seed_min, ccl_iters, ws_iters, tile_cap), (tile_x, margin))
         outs.append(o)
         presents.append(p)
         planes.append(pl)
         if t % 4 == 0 or t == n_tiles - 1:
             jax.block_until_ready(p)
             log(f"tile {t + 1}/{n_tiles}")
-    del enhanced_p, bkg_p, enh, bkg
+    del enhanced_p, bkg_p
     # outs stays a LIST: stacking the full volume here plus the later
     # global remap pass held three full-volume buffers at once (measured
     # RESOURCE_EXHAUSTED at the reference scale)
@@ -530,8 +550,15 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     ~20 s for the measure kernel. Both compiles are host/server-side and
     overlap each other (threaded compile measured 1.4x faster than
     serial, tools/tpu_check_parallel_compile.py) and the device queue
-    keeps draining while they run. The dummy executions land ~1.3 s of
-    junk device work at queue position ~compile-end.
+    keeps draining while they run.
+
+    All warms are AOT ``jit.lower(ShapeDtypeStruct...).compile()`` — this
+    populates the same executable cache the later direct calls hit
+    (verified by experiment: a post-AOT call pays tracing, never a
+    recompile), allocates NOTHING on device, and lands no junk work in
+    the queue — so it can precompile the full-volume-signature programs
+    (_segment_tile_at, _accumulate_planes_banded_at) without holding
+    4 GB dummies.
 
     Returns a join() callable; call it before timing segmentation to
     guarantee the programs are ready (optional — the jit cache is
@@ -540,17 +567,25 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     import threading
 
     x, y, z = shape
-    slab_x = tile_x + 2 * margin
+    n_tiles = -(-x // tile_x)
+    padded_x = n_tiles * tile_x + 2 * margin
     statics = (cfg.lp_seed_min_size, cfg.ccl_max_iters,
                cfg.watershed_max_iters, tile_cap)
+    f32 = jnp.float32
+    scalar_f32 = jax.ShapeDtypeStruct((), f32)
 
     def warm_tile():
-        enh = jnp.zeros((slab_x, y, z), jnp.bfloat16)
-        bkg = jnp.zeros((slab_x, y, z), bool)
-        thr = (jnp.asarray(0.5, jnp.float32), jnp.asarray(0.6, jnp.float32))
-        _, p, _ = _segment_one_tile(enh, bkg, thr, statics,
-                                    (tile_x, margin))
-        jax.block_until_ready(p)
+        enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bfloat16)
+        bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
+        start = jax.ShapeDtypeStruct((), jnp.int32)
+        _segment_tile_at.lower(enh, bkg, (scalar_f32, scalar_f32), start,
+                               statics, (tile_x, margin)).compile()
+        # The remap program runs right after the tile sweep; compile it
+        # next (sequentially, after the tile program lands) so the merge
+        # stage doesn't pay its compile on the critical path.
+        lab_s = jax.ShapeDtypeStruct((tile_x, y, z), jnp.int32)
+        tbl_s = jax.ShapeDtypeStruct((tile_cap,), f32)
+        _remap_tile.lower(lab_s, tbl_s, min(tile_cap, 2048)).compile()
 
     def warm_measure():
         # Stagger: the tile program is on the critical path ~20 s from
@@ -559,11 +594,12 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # compile slots while the tile program compiles.
         import time as _t
         _t.sleep(15)
-        acc = jnp.zeros((max_cells, 1 + n_channels), jnp.float32)
-        lab_d = jnp.zeros((z_chunk, x, y), jnp.int32)
-        img = jnp.zeros((n_channels, z_chunk, x, y), jnp.float32)
-        jax.block_until_ready(_accumulate_planes_banded(
-            acc, lab_d, img, measure_width, z_chunk))
+        acc = jax.ShapeDtypeStruct((max_cells, 1 + n_channels), f32)
+        seg_zxy = jax.ShapeDtypeStruct((z, x, y), jnp.int32)
+        img = jax.ShapeDtypeStruct((n_channels, z_chunk, x, y), f32)
+        z0 = jax.ShapeDtypeStruct((), jnp.int32)
+        _accumulate_planes_banded_at.lower(
+            acc, seg_zxy, img, z0, measure_width, z_chunk).compile()
 
     targets = [warm_tile]
     if n_channels is not None and jax.default_backend() not in ("cpu",
@@ -716,9 +752,8 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     while tiles_seg:
         t = len(remapped)
         tbl = jnp.asarray(remap[t * tile_cap:(t + 1) * tile_cap])
-        remapped.append(segstats.label_lookup(
-            tiles_seg.pop(0), tbl, width=min(tile_cap, 2048),
-            out_dtype=jnp.int32))
+        remapped.append(_remap_tile(tiles_seg.pop(0), tbl,
+                                    min(tile_cap, 2048)))
     seg = jnp.concatenate(remapped, axis=0)[:x]
     del remapped
     _log("remap applied")
@@ -809,6 +844,15 @@ def _accumulate_planes_banded(acc, labels_zxy, img_cm, width, n_planes):
                               labels_zxy, img_cm)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _accumulate_planes_banded_at(acc, seg_zxy, img_cm, z0, width, n_planes):
+    """Label-slab slice + banded accumulate in one dispatched program (a
+    traced ``z0`` keeps one executable across the chunk sweep; see
+    _segment_tile_at for why per-chunk eager dispatches matter here)."""
+    lab_d = jax.lax.dynamic_slice_in_dim(seg_zxy, z0, n_planes, 0)
+    return _accumulate_planes_banded(acc, lab_d, img_cm, width, n_planes)
+
+
 def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
                             n_channels: int, max_cells: int,
                             channels_major: bool = False):
@@ -834,9 +878,8 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
             for z0 in range(0, z_total, z_chunk):
                 zc = min(z_chunk, z_total - z0)
                 chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
-                acc = _accumulate_planes_banded(
-                    acc, jax.lax.dynamic_slice_in_dim(seg_zxy, z0, zc, 0),
-                    chunk, 512, zc)
+                acc = _accumulate_planes_banded_at(
+                    acc, seg_zxy, chunk, np.int32(z0), 512, zc)
             return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
         sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
         counts = jnp.zeros((max_cells,), jnp.float32)
