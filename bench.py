@@ -35,6 +35,29 @@ from hiprfish_tpu.utils.platform import apply_compile_cache_env
 apply_compile_cache_env()
 
 
+def _barcode_accuracy(seg_np, truth, codes_pred, cell_codes, codebook,
+                      layout, n_found: int, max_cells: int):
+    """Vectorized barcode accuracy vs planted ground truth: majority truth
+    label per found cell via ONE packed np.unique pass (the per-cell
+    ``truth[seg == lab]`` loop re-scanned the full FOV per cell — ~40 s of
+    bench wall at 400 cells)."""
+    pairs = (seg_np.astype(np.int64) << 32) | truth.astype(np.int64)
+    vals, cnt = np.unique(pairs, return_counts=True)
+    s = (vals >> 32).astype(np.int64)
+    t = (vals & 0xFFFFFFFF).astype(np.int64)
+    keep = (s > 0) & (s <= min(n_found, max_cells - 1)) & (t > 0)
+    s, t, cnt = s[keep], t[keep], cnt[keep]
+    majority = {}
+    for si, ti in zip(s[np.argsort(cnt)], t[np.argsort(cnt)]):
+        majority[int(si)] = int(ti)        # ascending counts: last wins
+    correct = total = 0
+    for lab, tid in majority.items():
+        gt_code = layout.code_str(cell_codes[tid - 1])
+        total += 1
+        correct += codebook[codes_pred[lab]] == gt_code
+    return correct, total
+
+
 def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
                       spc: int | None = None, max_cells: int = 8192):
     """The 10-bit configuration: 5-laser 95-channel FOV through the fused
@@ -55,16 +78,6 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
     rng = np.random.RandomState(0)
     all_codes = list(range(1, 1024))
     cell_codes = [all_codes[(i * 37) % 1023] for i in range(n_cells)]
-
-    t0 = time.time()
-    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=2,
-                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0),
-                                           (1, 1)],
-                             cell_axes=(9.0, 14.0))
-    stack = tuple(jax.device_put(np.asarray(a, np.float32))
-                  for a in fov["stack"])
-    jax.block_until_ready(stack)
-    print(f"# [10b] fixture built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Full 1023-class training set (spc rows/class) + violet derivative.
     # The built artifact is cached under its filename convention
@@ -110,6 +123,35 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
 
     cfg = SegmentationConfig()
+
+    # AOT-compile the fused engine in a background thread while the host
+    # builds the fixture (~80 s) — lower().compile() populates the same
+    # executable cache the direct call hits (tests/test_warmup_aot.py),
+    # so the ~60 s first-call compile disappears from bench wall time.
+    import threading
+
+    bounds = layout.block_bounds
+    stack_specs = tuple(
+        jax.ShapeDtypeStruct((size, size, bounds[i + 1] - bounds[i]),
+                             jnp.float32)
+        for i in range(layout.n_lasers))
+    warm_t = threading.Thread(
+        target=lambda: fused_ecoli.fov_step_ecoli.lower(
+            stack_specs, clf_arrays, cfg, max_cells, clf_static).compile(),
+        daemon=True)
+    warm_t.start()
+
+    t0 = time.time()
+    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=2,
+                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0),
+                                           (1, 1)],
+                             cell_axes=(9.0, 14.0))
+    stack = tuple(jax.device_put(np.asarray(a, np.float32))
+                  for a in fov["stack"])
+    jax.block_until_ready(stack)
+    print(f"# [10b] fixture built in {time.time()-t0:.1f}s", file=sys.stderr)
+    warm_t.join()
+
     step = lambda: fused_ecoli.fov_step_ecoli(stack, clf_arrays, cfg,
                                               max_cells, clf_static)
     t0 = time.time()
@@ -118,19 +160,9 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
     print(f"# [10b] first call (compile+run): {time.time()-t0:.1f}s, "
           f"cells: {int(n_found)}", file=sys.stderr)
 
-    seg_np = np.asarray(seg)
-    truth = fov["truth_labels"]
-    codes_pred = np.asarray(code_idx)
-    codebook = list(clf.codebook)
-    correct = total = 0
-    for lab in range(1, min(int(n_found), max_cells - 1) + 1):
-        overl = truth[seg_np == lab]
-        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
-        if len(vals) == 0:
-            continue
-        gt_code = layout.code_str(cell_codes[int(vals[np.argmax(cnt)]) - 1])
-        total += 1
-        correct += codebook[codes_pred[lab]] == gt_code
+    correct, total = _barcode_accuracy(
+        np.asarray(seg), fov["truth_labels"], np.asarray(code_idx),
+        cell_codes, list(clf.codebook), layout, int(n_found), max_cells)
     acc = correct / max(total, 1)
 
     times = []
@@ -170,21 +202,11 @@ def main():
     rng = np.random.RandomState(0)
     all_codes = list(range(1, 128))
     cell_codes = [all_codes[i % 127] for i in range(n_cells)]
-
-    t0 = time.time()
-    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=1,
-                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0)],
-                             cell_axes=(7.0, 12.0))
     import jax.numpy as jnp
-    # Stage the FOV on device once (production loaders stream FOVs ahead of
-    # compute; the benchmark measures the on-chip pipeline).
-    stack = tuple(jax.device_put(np.asarray(a, np.float32))
-                  for a in fov["stack"])
-    jax.block_until_ready(stack)
-    print(f"# synthetic FOV {size}x{size}, {n_cells} cells, built in "
-          f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-    # Train a 127-code classifier from simulated reference spectra.
+    # Train a 127-code classifier from simulated reference spectra (needs
+    # no fixture — run it first so the engine compile can overlap the
+    # fixture build below).
     spectra_lut = synthetic.fluorophore_spectra(layout)
     rows, code_strs = [], []
     for c in all_codes:
@@ -203,6 +225,36 @@ def main():
           f"{clf.train_features.shape[0]} reference rows", file=sys.stderr)
 
     cfg = SegmentationConfig()
+
+    # AOT-compile the engine in a background thread, overlapped with the
+    # ~130 s host fixture build (see bench_ecoli_10bit for the mechanism).
+    import threading
+
+    bounds = layout.block_bounds
+    stack_specs = tuple(
+        jax.ShapeDtypeStruct((size, size, bounds[i + 1] - bounds[i]),
+                             jnp.float32)
+        for i in range(layout.n_lasers))
+    warm_t = threading.Thread(
+        target=lambda: fused.fov_step.lower(
+            stack_specs, clf_arrays, cfg, max_cells, clf_static,
+            True).compile(),
+        daemon=True)
+    warm_t.start()
+
+    t0 = time.time()
+    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=1,
+                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0)],
+                             cell_axes=(7.0, 12.0))
+    # Stage the FOV on device once (production loaders stream FOVs ahead of
+    # compute; the benchmark measures the on-chip pipeline).
+    stack = tuple(jax.device_put(np.asarray(a, np.float32))
+                  for a in fov["stack"])
+    jax.block_until_ready(stack)
+    print(f"# synthetic FOV {size}x{size}, {n_cells} cells, built in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    warm_t.join()
+
     step = lambda: fused.fov_step(stack, clf_arrays, cfg, max_cells,
                                   clf_static, True)
 
@@ -215,20 +267,10 @@ def main():
 
     # Barcode accuracy vs planted ground truth (cells matched by majority
     # overlap with the truth label image).
-    seg = np.asarray(out.segmentation)
-    truth = fov["truth_labels"]
-    codes_pred = np.asarray(out.code_idx)
-    codebook = list(clf.codebook)
-    n_found = int(out.n_cells)
-    correct = total = 0
-    for lab in range(1, min(n_found, max_cells - 1) + 1):
-        overl = truth[seg == lab]
-        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
-        if len(vals) == 0:
-            continue
-        gt_code = layout.code_str(cell_codes[int(vals[np.argmax(cnt)]) - 1])
-        total += 1
-        correct += codebook[codes_pred[lab]] == gt_code
+    correct, total = _barcode_accuracy(
+        np.asarray(out.segmentation), fov["truth_labels"],
+        np.asarray(out.code_idx), cell_codes, list(clf.codebook), layout,
+        int(out.n_cells), max_cells)
     acc = correct / max(total, 1)
     print(f"# barcode accuracy vs ground truth: {acc:.4f} "
           f"({correct}/{total})", file=sys.stderr)
