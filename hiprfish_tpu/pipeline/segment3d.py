@@ -137,46 +137,51 @@ def stitch_tiles_device(tile_volumes, grid, overlap: int, out_shape,
         masks = [jnp.ones((ty, tx, tz), jnp.float32)] * len(tiles)
     else:
         masks = [jnp.asarray(m, jnp.float32) for m in tile_masks]
+    return _stitch_device(tuple(tiles), tuple(masks), (gy, gx), overlap,
+                          tuple(out_shape), pad, strip)
 
-    @jax.jit
-    def _stitch(tiles, masks):
-        shifts = {}
-        for i in range(gy):
-            for j in range(gx):
-                if i == 0 and j == 0:
-                    shifts[(i, j)] = jnp.zeros((3,), jnp.int32)
-                elif j == 0:
-                    s = reg.register_translation_3d(
-                        tiles[(i - 1) * gx][-strip:], tiles[i * gx][:strip])
-                    shifts[(i, j)] = s.astype(jnp.int32)
-                else:
-                    s = reg.register_translation_3d(
-                        tiles[i * gx + j - 1][:, -strip:],
-                        tiles[i * gx + j][:, :strip])
-                    shifts[(i, j)] = s.astype(jnp.int32)
-        full = jnp.zeros((out_shape[0] + 2 * pad, out_shape[1] + 2 * pad,
-                          out_shape[2] + 2 * pad), jnp.float32)
-        count = jnp.zeros_like(full)
-        step_y = ty - overlap
-        step_x = tx - overlap
-        for i in range(gy):
-            for j in range(gx):
-                sy = i * step_y + pad + sum(
-                    shifts[(r, 0)][0] for r in range(1, i + 1)) + sum(
-                    shifts[(i, c)][0] for c in range(1, j + 1))
-                sx = j * step_x + pad + sum(
-                    shifts[(i, c)][1] for c in range(0, j + 1))
-                sz = pad + sum(shifts[(i, c)][2] for c in range(0, j + 1))
-                pos = (jnp.asarray(sy), jnp.asarray(sx), jnp.asarray(sz))
-                msk = masks[i * gx + j]
-                patch = jax.lax.dynamic_slice(full, pos, (ty, tx, tz))
-                full = jax.lax.dynamic_update_slice(
-                    full, patch + tiles[i * gx + j] * msk, pos)
-                cpatch = jax.lax.dynamic_slice(count, pos, (ty, tx, tz))
-                count = jax.lax.dynamic_update_slice(count, cpatch + msk, pos)
-        return full / jnp.maximum(count, 1.0)
 
-    return _stitch(tiles, masks)
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _stitch_device(tiles, masks, grid, overlap, out_shape, pad, strip):
+    """Module-level jit of the stitch program (a per-call local jit made
+    every stitch recompile and left nothing for warmup to AOT-lower)."""
+    gy, gx = grid
+    ty, tx, tz = tiles[0].shape
+    shifts = {}
+    for i in range(gy):
+        for j in range(gx):
+            if i == 0 and j == 0:
+                shifts[(i, j)] = jnp.zeros((3,), jnp.int32)
+            elif j == 0:
+                s = reg.register_translation_3d(
+                    tiles[(i - 1) * gx][-strip:], tiles[i * gx][:strip])
+                shifts[(i, j)] = s.astype(jnp.int32)
+            else:
+                s = reg.register_translation_3d(
+                    tiles[i * gx + j - 1][:, -strip:],
+                    tiles[i * gx + j][:, :strip])
+                shifts[(i, j)] = s.astype(jnp.int32)
+    full = jnp.zeros((out_shape[0] + 2 * pad, out_shape[1] + 2 * pad,
+                      out_shape[2] + 2 * pad), jnp.float32)
+    count = jnp.zeros_like(full)
+    step_y = ty - overlap
+    step_x = tx - overlap
+    for i in range(gy):
+        for j in range(gx):
+            sy = i * step_y + pad + sum(
+                shifts[(r, 0)][0] for r in range(1, i + 1)) + sum(
+                shifts[(i, c)][0] for c in range(1, j + 1))
+            sx = j * step_x + pad + sum(
+                shifts[(i, c)][1] for c in range(0, j + 1))
+            sz = pad + sum(shifts[(i, c)][2] for c in range(0, j + 1))
+            pos = (jnp.asarray(sy), jnp.asarray(sx), jnp.asarray(sz))
+            msk = masks[i * gx + j]
+            patch = jax.lax.dynamic_slice(full, pos, (ty, tx, tz))
+            full = jax.lax.dynamic_update_slice(
+                full, patch + tiles[i * gx + j] * msk, pos)
+            cpatch = jax.lax.dynamic_slice(count, pos, (ty, tx, tz))
+            count = jax.lax.dynamic_update_slice(count, cpatch + msk, pos)
+    return full / jnp.maximum(count, 1.0)
 
 
 # ---------------------------------------------------------------------------
