@@ -344,6 +344,7 @@ def segment_3d_from_sum(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     return seg, n_cells, enhanced
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _cluster_threshold(values, k: int, iters: int):
     """Global KMeans decision boundary between the two brightest clusters:
     assignment to the brightest cluster is exactly ``value >= midpoint`` for
@@ -666,10 +667,11 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     x, y, z = vol_sum.shape
     vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
     del vol_sum
-    thr_bkg = _cluster_threshold(jnp.log10(vol_norm + 1e-8), 2,
-                                 cfg.kmeans_iters)
+    logv = jnp.log10(vol_norm + 1e-8)
+    thr_bkg = _cluster_threshold(logv, 2, cfg.kmeans_iters)
     _log(f"thr_bkg={float(thr_bkg):.3f}")
-    bkg = jnp.log10(vol_norm + 1e-8) >= thr_bkg
+    bkg = logv >= thr_bkg
+    del logv
 
     def _enhance(cx):
         out = lp_cv_enhance_3d_chunked(vol_norm, cfg, cx)
