@@ -53,6 +53,48 @@ def test_aot_lower_compile_is_reused_by_direct_call():
     assert not compiled, compiled
 
 
+def test_stitch_aot_spec_matches_real_call():
+    """bench3d AOT-lowers _stitch_device from specs computed the same way
+    it later cuts the tiles; if the specs drift from the real call the
+    stitch compile lands back on the timed stage. Assert the direct call
+    after AOT emits no fresh XLA compile for the stitch program."""
+    shape, tile_grid, overlap, pad = (96, 80, 12), (2, 2), 8, 4
+    gy, gx = tile_grid
+    ty = (shape[0] + (gy - 1) * overlap) // gy
+    tx = (shape[1] + (gx - 1) * overlap) // gx
+    t_spec = jax.ShapeDtypeStruct((ty, tx, shape[2]), jnp.float32)
+    segment3d._stitch_device.lower(
+        (t_spec,) * (gy * gx), (t_spec,) * (gy * gx), tile_grid, overlap,
+        shape, pad, overlap).compile()
+
+    rng = np.random.RandomState(0)
+    vol = rng.rand(*shape).astype(np.float32)
+    step_y, step_x = ty - overlap, tx - overlap
+    tiles = [vol[i * step_y:i * step_y + ty, j * step_x:j * step_x + tx]
+             for i in range(gy) for j in range(gx)]
+
+    handler = _CompileLog()
+    logger = logging.getLogger("jax._src.dispatch")
+    logger.addHandler(handler)
+    logger.setLevel(logging.DEBUG)
+    try:
+        jax.config.update("jax_log_compiles", True)
+        out = segment3d.stitch_tiles_device(tiles, tile_grid, overlap,
+                                            shape, pad=pad)
+        out.block_until_ready()
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(handler)
+
+    compiled = [m for m in handler.messages
+                if "XLA compilation of jit(_stitch_device)" in m]
+    assert not compiled, compiled
+    # stitching identical-overlap cuts reproduces the scene interior
+    inner = np.asarray(out)[pad:pad + shape[0], pad:pad + shape[1],
+                            pad:pad + shape[2]]
+    np.testing.assert_allclose(inner, vol, rtol=1e-5, atol=1e-5)
+
+
 def test_warmup_pipeline_matches_direct_segmentation():
     """warmup_pipeline's AOT specs must exactly match the real call
     signatures of _segment_tile_at/_remap_tile (a mismatch would silently
