@@ -122,17 +122,26 @@ def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
         # chunks may be heterogeneous (one half can succeed at b/2 while the
         # other splits again under fragmentation-dependent OOM) — map global
         # row -> (chunk, local row) by consuming each chunk's actual size
-        row_map = [(out, oi) for out in outs
+        row_map = [(ci, oi) for ci, out in enumerate(outs)
                    for oi in range(out.n_cells.shape[0])]
         assert len(row_map) == batch, (len(row_map), batch)
+        # One device->host transfer per chunk ARRAY (not per FOV slice):
+        # each eager `out.x[oi]` + np.asarray pays a full tunnel round-trip
+        # (~0.5 s on the tunneled platform), 4x per FOV.
+        host = [dict(n_cells=np.asarray(out.n_cells),
+                     segmentation=np.asarray(out.segmentation),
+                     avgint=np.asarray(out.avgint),
+                     avgint_norm=np.asarray(out.avgint_norm),
+                     code_idx=np.asarray(out.code_idx)) for out in outs]
         for bi, name in enumerate(names):
-            out, oi = row_map[bi]
-            n = int(out.n_cells[oi])
-            seg = np.asarray(out.segmentation[oi])
-            avgint = np.asarray(out.avgint[oi])[1:n + 1]
-            norm = np.asarray(out.avgint_norm[oi])[1:n + 1]
+            ci, oi = row_map[bi]
+            out = host[ci]
+            n = int(out["n_cells"][oi])
+            seg = out["segmentation"][oi]
+            avgint = out["avgint"][oi][1:n + 1]
+            norm = out["avgint_norm"][oi][1:n + 1]
             codes = [clf.codebook[int(c)]
-                     for c in np.asarray(out.code_idx[oi])[1:n + 1]]
+                     for c in out["code_idx"][oi][1:n + 1]]
             prefix = os.path.join(out_dir, name)
             outputs.save_avgint_csv(prefix + "_avgint.csv", avgint)
             outputs.save_avgint_norm_csv_with_header(
