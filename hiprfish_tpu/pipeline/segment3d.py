@@ -711,6 +711,13 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     # local rank r is t * tile_cap + r.
     present = np.asarray(tile_present)        # (tiles, tile_cap) bool
     planes_np = np.asarray(planes)            # (tiles, 2, Y, Z) private ids
+    # Pull every boundary's cropped-label plane pair in ONE dispatch + ONE
+    # transfer — the per-boundary eager slice + np.asarray paid a tunnel
+    # round-trip each (16 round-trips ≈ seconds of the merge stage).
+    edges_np = np.asarray(jax.jit(
+        lambda ts: jnp.stack([jnp.stack([ts[t][-1], ts[t + 1][0]])
+                              for t in range(len(ts) - 1)]))(
+        tuple(tiles_seg))) if n_tiles > 1 else None
     parent = {}
 
     def find(a):
@@ -728,9 +735,9 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         xb = (t + 1) * tile_x
         if xb >= x:
             break
-        g0 = np.asarray(tiles_seg[t][-1])
+        g0 = edges_np[t, 0]
         g0 = np.where(g0 > 0, g0 + t * tile_cap, 0)
-        g1 = np.asarray(tiles_seg[t + 1][0])
+        g1 = edges_np[t, 1]
         g1 = np.where(g1 > 0, g1 + (t + 1) * tile_cap, 0)
         priv = planes_np[t]
         same = (priv[0] == priv[1]) & (priv[0] > 0) & (g0 > 0) & (g1 > 0)
