@@ -444,14 +444,17 @@ def _segment_tile_at(enhanced_p, bkg_p, thresholds, start, statics, shapes):
     return _segment_one_tile(enh, bkg, thresholds, statics, shapes)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _remap_tile(labels, table, width):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _remap_tile(labels, full_table, t, tile_cap, width):
     """Jitted remap of one tile's labels through its slice of the global
     union-find table — one dispatch per tile instead of the handful of
-    eager ops inside label_lookup, and AOT-precompilable by warmup."""
+    eager ops inside label_lookup, and AOT-precompilable by warmup. The
+    FULL table uploads once; each tile's slice is taken on device (a
+    per-tile 32 KB host->device put paid a tunnel round-trip each)."""
     from hiprfish_tpu.ops import segstats
 
-    return segstats.label_lookup(labels, table, width=width,
+    tbl = jax.lax.dynamic_slice(full_table, (t * tile_cap,), (tile_cap,))
+    return segstats.label_lookup(labels, tbl, width=width,
                                  out_dtype=jnp.int32)
 
 
@@ -590,8 +593,10 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # next (sequentially, after the tile program lands) so the merge
         # stage doesn't pay its compile on the critical path.
         lab_s = jax.ShapeDtypeStruct((tile_x, y, z), jnp.int32)
-        tbl_s = jax.ShapeDtypeStruct((tile_cap,), f32)
-        _remap_tile.lower(lab_s, tbl_s, min(tile_cap, 2048)).compile()
+        tbl_s = jax.ShapeDtypeStruct((n_tiles * tile_cap,), f32)
+        t_s = jax.ShapeDtypeStruct((), jnp.int32)
+        _remap_tile.lower(lab_s, tbl_s, t_s, tile_cap,
+                          min(tile_cap, 2048)).compile()
 
     def warm_measure():
         # Stagger: the tile program is on the critical path ~20 s from
@@ -763,10 +768,11 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     # Remap tile by tile (each tile's ids index its own tile_cap-slice of
     # the global table), freeing originals as we go, then assemble once.
     remapped = []
+    remap_dev = jnp.asarray(remap)
     while tiles_seg:
         t = len(remapped)
-        tbl = jnp.asarray(remap[t * tile_cap:(t + 1) * tile_cap])
-        remapped.append(_remap_tile(tiles_seg.pop(0), tbl,
+        remapped.append(_remap_tile(tiles_seg.pop(0), remap_dev,
+                                    np.int32(t), tile_cap,
                                     min(tile_cap, 2048)))
     seg = jnp.concatenate(remapped, axis=0)[:x]
     del remapped
