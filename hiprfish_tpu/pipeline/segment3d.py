@@ -547,7 +547,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
                     max_cells: int = 16384, tile_x: int = 240,
                     margin: int = 64, tile_cap: int = 8192,
                     z_chunk: int = 2, n_channels: int | None = None,
-                    measure_width: int = 512):
+                    measure_width: int = 512, measure_runner=None):
     """Pre-compile the 3D tile program and the streamed-measure kernel in
     background threads, overlapped with whatever the caller dispatches
     meanwhile (IO, stitching, enhancement).
@@ -605,8 +605,12 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # compile slots while the tile program compiles.
         import time as _t
         _t.sleep(15)
-        acc = jax.ShapeDtypeStruct((max_cells, 1 + n_channels), f32)
         seg_zxy = jax.ShapeDtypeStruct((z, x, y), jnp.int32)
+        if measure_runner is not None:
+            # fused single-program measurement (make_fused_measure)
+            measure_runner.lower(seg_zxy).compile()
+            return
+        acc = jax.ShapeDtypeStruct((max_cells, 1 + n_channels), f32)
         img = jax.ShapeDtypeStruct((n_channels, z_chunk, x, y), f32)
         z0 = jax.ShapeDtypeStruct((), jnp.int32)
         _accumulate_planes_banded_at.lower(
@@ -871,6 +875,49 @@ def _accumulate_planes_banded_at(acc, seg_zxy, img_cm, z0, width, n_planes):
     _segment_tile_at for why per-chunk eager dispatches matter here)."""
     lab_d = jax.lax.dynamic_slice_in_dim(seg_zxy, z0, n_planes, 0)
     return _accumulate_planes_banded(acc, lab_d, img_cm, width, n_planes)
+
+
+def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
+                       max_cells: int, width: int = 512):
+    """Whole-volume streamed measurement as ONE jitted program, for
+    loaders that are themselves jax-traceable with a traced z0 (the
+    synthetic volume generator, or any on-device spectral source).
+
+    measure_volume_streamed dispatches loader + accumulate per z-chunk —
+    ~170 round-trips per volume on the tunneled platform, which costs more
+    wall time than the banded kernels' device time (measured 15.8 s wall
+    vs ~7.5 s device at the reference scale). Here the chunk sweep is a
+    ``lax.fori_loop`` inside one program: one dispatch, loader and
+    accumulation fused, one chunk of spectra materialized at a time.
+
+    Returns a jitted ``run(seg_zxy) -> (max_cells, C) mean spectra``
+    taking the (Z, X, Y)-transposed label volume; AOT-lower it for warmup
+    via ``run.lower(ShapeDtypeStruct((z, x, y), jnp.int32)).compile()``.
+    """
+    x, y, z = shape
+    nsteps, tail = divmod(z, z_chunk)
+
+    @jax.jit
+    def run(seg_zxy):
+        def body(i, acc):
+            z0 = i * z_chunk
+            chunk = jnp.asarray(loader_fn(z0, z_chunk), jnp.float32)
+            lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0),
+                                        (z_chunk, x, y))
+            return _accumulate_planes_banded(acc, lab, chunk, width,
+                                             z_chunk)
+
+        acc = jax.lax.fori_loop(
+            0, nsteps, body,
+            jnp.zeros((max_cells, 1 + n_channels), jnp.float32))
+        if tail:
+            z0 = nsteps * z_chunk
+            chunk = jnp.asarray(loader_fn(z0, tail), jnp.float32)
+            lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0), (tail, x, y))
+            acc = _accumulate_planes_banded(acc, lab, chunk, width, tail)
+        return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
+
+    return run
 
 
 def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,

@@ -85,9 +85,24 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     # early pipeline stages — the persistent cache cannot carry them
     # across processes on the tunneled platform (see warmup_pipeline).
     import threading
+    lut_dev = jnp.asarray(lut, jnp.float32)
+    loader_key = jax.random.PRNGKey(1)
+
+    def loader(z0, zc):
+        return s3.channel_chunk_cm(spec, len(codes), z0, zc, lut_dev,
+                                   loader_key)
+
+    # One-dispatch fused measurement program (loader + banded accumulate
+    # under a single fori_loop; the per-chunk dispatch loop paid ~170
+    # tunnel round-trips). HIPRFISH_FUSED_MEASURE=0 falls back.
+    fused_measure = None
+    if os.environ.get("HIPRFISH_FUSED_MEASURE", "1") != "0" \
+            and jax.default_backend() not in ("cpu", "gpu"):
+        fused_measure = segment3d.make_fused_measure(
+            loader, shape, z_chunk, layout.n_channels, max_cells)
     warm_join = segment3d.warmup_pipeline(
         shape, SegmentationConfig(), max_cells, z_chunk=z_chunk,
-        n_channels=layout.n_channels)
+        n_channels=layout.n_channels, measure_runner=fused_measure)
 
     def warm_classify():
         time.sleep(30)       # classify is last; stay off the compile queue
@@ -174,16 +189,13 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     del enhanced  # tiled path returns None
 
     # ---- measure (timed): streamed 63-channel segment_sum ----
-    key = jax.random.PRNGKey(1)
-    lut_dev = jnp.asarray(lut, jnp.float32)
-
-    def loader(z0, zc):
-        return s3.channel_chunk_cm(spec, len(codes), z0, zc, lut_dev, key)
-
     t0 = time.time()
-    avg = segment3d.measure_volume_streamed(
-        seg, loader, shape[2], z_chunk, layout.n_channels, max_cells,
-        channels_major=True)
+    if fused_measure is not None:
+        avg = fused_measure(jnp.transpose(seg, (2, 0, 1)))
+    else:
+        avg = segment3d.measure_volume_streamed(
+            seg, loader, shape[2], z_chunk, layout.n_channels, max_cells,
+            channels_major=True)
     sync(avg)
     timings["measure_s"] = time.time() - t0
     log(f"measure (streamed 63ch): {timings['measure_s']:.1f}s")
