@@ -16,6 +16,7 @@ extended margin so mirror weights at p+o are available in-tile).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -23,9 +24,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Small static unroll factor for the dx offset loops (1 = rolled). Full
+# unroll (264 bodies) compiles >20 min and a 23-body unroll spills 157 MB
+# of vector registers — only small factors are viable. Env-tunable for
+# experiments: HIPRFISH_NLM_UNROLL=2/4.
+_DX_UNROLL = int(os.environ.get("HIPRFISH_NLM_UNROLL", "1"))
+
 
 def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
-                halo_x, pd, pr, h2):
+                halo_x, pd, pr, h2, unroll):
     i = pl.program_id(0)
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -100,7 +107,8 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     def body_row0(dx, carry):         # dy = 0 half-row: (0, dx), dx 1..pd
         return per_offset(0, dx, winv, winv, carry)
 
-    carry = jax.lax.fori_loop(1, pd + 1, body_row0, (acc0, wacc0))
+    carry = jax.lax.fori_loop(1, pd + 1, body_row0, (acc0, wacc0),
+                              unroll=unroll)
 
     def body_dy(dy, carry):
         wdy_neg = _roll(winv, dy, 0)
@@ -109,7 +117,8 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
         def body_dx(j, c):
             return per_offset(dy, j - pd, wdy_neg, wdy_pos, c)
 
-        return jax.lax.fori_loop(0, 2 * pd + 1, body_dx, carry)
+        return jax.lax.fori_loop(0, 2 * pd + 1, body_dx, carry,
+                                 unroll=unroll)
 
     acc, wacc = jax.lax.fori_loop(1, pd + 1, body_dy, carry)
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
@@ -147,7 +156,7 @@ def denoise_nl_means_pallas(
 
     kernel = functools.partial(
         _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
-        pr=pr, h2=float(h * h))
+        pr=pr, h2=float(h * h), unroll=_DX_UNROLL)
 
     out = pl.pallas_call(
         kernel,
