@@ -153,10 +153,11 @@ def _stats_kernel(lab_ref, *rest, acc, spill, out_ref, spill_ref,
         spill_ref[0] = spill[0]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit,
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def stats_pallas(labels, image, aux, num_segments: int, width: int,
                  band_px: int, aux_classes: int, moments: bool,
-                 has_mask: bool, h: int, w: int):
+                 has_mask: bool, h: int, w: int, interpret: bool = False):
     """Banded one-hot label stats on TPU.
 
     ``labels``: any shape, flattened internally. ``image``: (..., C[+1]) f32
@@ -231,6 +232,7 @@ def stats_pallas(labels, image, aux, num_segments: int, width: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(*inputs)
     return acc[:num_segments], spilled[0] > 0
 
@@ -300,9 +302,10 @@ def _stats_cm_kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill, *,
         spill_ref[0] = spill[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
-                    band_px: int, n_planes: int = 1):
+                    band_px: int, n_planes: int = 1,
+                    interpret: bool = False):
     """Banded [count, channel sums] for a channels-major image.
 
     ``labels``: any shape, flattened; ``img_cm``: (C,) + labels.shape f32.
@@ -375,6 +378,7 @@ def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(lab_b, img_f)
     return acc[:num_segments], spilled[0] > 0
 
@@ -419,8 +423,9 @@ def _lookup_kernel(lab_ref, tab_ref, out_ref, spill_ref, spill,
         spill_ref[0] = spill[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def lookup_pallas(labels, table, width: int, band_px: int, num_segments: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def lookup_pallas(labels, table, width: int, band_px: int,
+                  num_segments: int, interpret: bool = False):
     """Gather-free table[labels] on TPU (f32 result, caller casts)."""
     n = labels.size
     nb_raw = -(-n // band_px)
@@ -462,6 +467,7 @@ def lookup_pallas(labels, table, width: int, band_px: int, num_segments: int):
         # (3D relabel) even though the true block footprint is small.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(lab_b, tab)
     out = vals.reshape(-1)[:n].reshape(labels.shape)
     return out, spilled[0] > 0
