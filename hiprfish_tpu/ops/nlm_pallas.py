@@ -124,15 +124,20 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def denoise_nl_means_pallas(
     image: jax.Array,
     h: float = 0.02,
     patch_size: int = 7,
     patch_distance: int = 11,
     block: int = 512,
+    interpret: bool = False,
+    unroll: int | None = None,
 ):
-    """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means."""
+    """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means.
+
+    ``interpret``: run under the Pallas interpreter (CPU CI coverage).
+    ``unroll``: dx-loop unroll factor; None -> HIPRFISH_NLM_UNROLL env."""
     img = image.astype(jnp.float32)
     hh, ww = img.shape
     pd = patch_distance
@@ -156,7 +161,8 @@ def denoise_nl_means_pallas(
 
     kernel = functools.partial(
         _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
-        pr=pr, h2=float(h * h), unroll=_DX_UNROLL)
+        pr=pr, h2=float(h * h),
+        unroll=_DX_UNROLL if unroll is None else unroll)
 
     out = pl.pallas_call(
         kernel,
@@ -175,5 +181,6 @@ def denoise_nl_means_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(padded)
     return out[:hh, :ww]

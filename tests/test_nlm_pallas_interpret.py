@@ -1,0 +1,30 @@
+"""Interpret-mode CI coverage for the Pallas NLM kernel (TPU-only on
+hardware): exact agreement with the XLA fast-mode NLM (ops/denoise.py,
+itself oracle-tested against skimage semantics), and unroll-factor
+invariance (the dx-loop unroll must be a pure scheduling knob)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hiprfish_tpu.ops import denoise
+from hiprfish_tpu.ops import nlm_pallas
+
+
+def test_nlm_pallas_interpret_matches_xla_path():
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 160).astype(np.float32)
+    out = np.asarray(nlm_pallas.denoise_nl_means_pallas(
+        jnp.asarray(img), 0.02, 7, 11, 128, True))
+    ref = np.asarray(denoise.denoise_nl_means(jnp.asarray(img), 0.02, 7, 11))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
+
+def test_nlm_pallas_unroll_is_pure_scheduling():
+    rng = np.random.RandomState(1)
+    img = rng.rand(64, 128).astype(np.float32)
+    base = np.asarray(nlm_pallas.denoise_nl_means_pallas(
+        jnp.asarray(img), 0.02, 7, 11, 128, True, 1))
+    for u in (2, 4):
+        out = np.asarray(nlm_pallas.denoise_nl_means_pallas(
+            jnp.asarray(img), 0.02, 7, 11, 128, True, u))
+        np.testing.assert_allclose(out, base, rtol=0, atol=0)
