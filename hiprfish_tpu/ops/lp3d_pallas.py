@@ -148,8 +148,9 @@ def _kernel(tab_ref, vol_ref, out_ref, win, copies, rnc, sem, *,
     out_ref[:, :, :] = (total / n_orient) * (1.0 - qcv)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _enhance_xzy(vol_xzy, patch, theta_range, phi_range, blocks):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _enhance_xzy(vol_xzy, patch, theta_range, phi_range, blocks,
+                 interpret=False):
     """Run the kernel over a padded bf16 (Xp, Zp, Yp) volume; returns the
     f32 (nx*bx, nz*bz, ny*by) enhanced volume (caller slices)."""
     from hiprfish_tpu.ops.line_profile import line_table_3d
@@ -189,13 +190,15 @@ def _enhance_xzy(vol_xzy, patch, theta_range, phi_range, blocks):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(jnp.asarray(tab), vol_xzy)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def lp_cv_enhance_3d_fused(volume, patch: int = 11, theta_range: int = 9,
                            phi_range: int = 9,
-                           blocks: tuple = (8, 16, 128)):
+                           blocks: tuple = (8, 16, 128),
+                           interpret: bool = False):
     """Fused 3D LP-CV enhancement of an (X, Y, Z) f32 volume on TPU.
 
     Equivalent to pipeline/segment3d.lp_cv_enhance_3d_chunked's TPU path
@@ -215,5 +218,6 @@ def lp_cv_enhance_3d_fused(volume, patch: int = 11, theta_range: int = 9,
     yr = (ny - 1) * by + _rup(by + halo, 128) - halo - y
     v = jnp.pad(v, ((pad, pad + nx * bx - x), (pad, pad + zr),
                     (pad, pad + yr)), mode="edge")
-    out = _enhance_xzy(v, patch, theta_range, phi_range, blocks)
+    out = _enhance_xzy(v, patch, theta_range, phi_range, blocks,
+                       interpret)
     return out[:x, :z, :y].transpose(0, 2, 1)

@@ -68,9 +68,10 @@ def _lp_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y, halo_x,
     out_ref[:, :] = mean * (1.0 - qcv)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def lp_cv_enhance_2d_pallas(image: jax.Array, patch_size: int = 11,
-                            phi_range: int = 9, block: int = 256):
+                            phi_range: int = 9, block: int = 256,
+                            interpret: bool = False):
     img = image.astype(jnp.float32)
     hh, ww = img.shape
     pad = (patch_size - 1) // 2
@@ -102,6 +103,7 @@ def lp_cv_enhance_2d_pallas(image: jax.Array, patch_size: int = 11,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(padded)
     return out[:hh, :ww]
 
