@@ -834,8 +834,9 @@ def _accumulate_chunk_cm(sums_cm, counts, labels_slab, chunk_cm):
     return sums_cm, counts
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _accumulate_planes_banded(acc, labels_zxy, img_cm, width, n_planes):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _accumulate_planes_banded(acc, labels_zxy, img_cm, width, n_planes,
+                              interpret=False):
     """One z-chunk of the streamed measurement as banded one-hot matmuls
     (ops/segstats_pallas.stats_cm_pallas) — the XLA scatter formulation was
     231 ms per 2-plane slab at 2020^2 (19.6 s over the reference volume);
@@ -853,7 +854,7 @@ def _accumulate_planes_banded(acc, labels_zxy, img_cm, width, n_planes):
     plane_px = labels_zxy.size // n_planes
     band_px = segstats._pick_band_px(plane_px, 8192)
     out, spill = sp.stats_cm_pallas(labels_zxy, img_cm, num_segments,
-                                    width, band_px, n_planes)
+                                    width, band_px, n_planes, interpret)
 
     def _exact(lab, img):
         idx = lab.reshape(-1)
@@ -878,7 +879,8 @@ def _accumulate_planes_banded_at(acc, seg_zxy, img_cm, z0, width, n_planes):
 
 
 def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
-                       max_cells: int, width: int = 512):
+                       max_cells: int, width: int = 512,
+                       interpret: bool = False):
     """Whole-volume streamed measurement as ONE jitted program, for
     loaders that are themselves jax-traceable with a traced z0 (the
     synthetic volume generator, or any on-device spectral source).
@@ -905,7 +907,7 @@ def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
             lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0),
                                         (z_chunk, x, y))
             return _accumulate_planes_banded(acc, lab, chunk, width,
-                                             z_chunk)
+                                             z_chunk, interpret)
 
         acc = jax.lax.fori_loop(
             0, nsteps, body,
@@ -914,7 +916,8 @@ def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
             z0 = nsteps * z_chunk
             chunk = jnp.asarray(loader_fn(z0, tail), jnp.float32)
             lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0), (tail, x, y))
-            acc = _accumulate_planes_banded(acc, lab, chunk, width, tail)
+            acc = _accumulate_planes_banded(acc, lab, chunk, width, tail,
+                                            interpret)
         return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
 
     return run
