@@ -137,9 +137,9 @@ def _block_pool(x: jax.Array, c: int, op: str) -> jax.Array:
     return r.all(tuple(axes)) if op == "all" else r.any(tuple(axes))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 1,
-                max_iters: int = 512):
+                max_iters: int = 512, max_run: int | None = None):
     """Pixels of ``mask`` reachable from ``seeds`` through ``mask`` —
     binary flood fill with the same scan machinery as label() but carried on
     booleans (used by hole filling / border-connectivity tests).
@@ -156,18 +156,20 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 1,
     if seeds.size >= (1 << 22) and all(s >= 4 * c for s in mask.shape):
         solid = _block_pool(mask, c, "all")
         cseeds = _block_pool(seeds & mask, c, "any") & solid
-        creach = _flood_reach_flat(cseeds, solid, 1, max_iters)
+        creach = _flood_reach_flat(cseeds, solid, 1, max_iters, max_run)
         up = jnp.repeat(creach, c, axis=0)
         for ax in range(1, mask.ndim):
             up = jnp.repeat(up, c, axis=ax)
         up = up[tuple(slice(0, s) for s in mask.shape)]
         seeds = seeds | (up & mask)
-    return _flood_reach_flat(seeds, mask, connectivity, max_iters)
+    return _flood_reach_flat(seeds, mask, connectivity, max_iters,
+                             max_run)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _flood_reach_flat(seeds: jax.Array, mask: jax.Array,
-                      connectivity: int = 1, max_iters: int = 512):
+                      connectivity: int = 1, max_iters: int = 512,
+                      max_run: int | None = None):
     ndim = mask.ndim
     # face shifts are the or-scans' d=1 step; only diagonals do work here
     shifts = [s for s in _neighbor_shifts(ndim, connectivity)
@@ -182,8 +184,8 @@ def _flood_reach_flat(seeds: jax.Array, mask: jax.Array,
             nb = nb | shifted(cur, off, False)
         cur = mask & (cur | nb)
         for axis in range(ndim):
-            cur = _run_or_scan(cur, mask, axis, False)
-            cur = _run_or_scan(cur, mask, axis, True)
+            cur = _run_or_scan(cur, mask, axis, False, max_run)
+            cur = _run_or_scan(cur, mask, axis, True, max_run)
         return cur, jnp.any(cur != reach), it + 1
 
     def cond(state):
@@ -192,6 +194,24 @@ def _flood_reach_flat(seeds: jax.Array, mask: jax.Array,
     reach, _, _ = jax.lax.while_loop(
         cond, body, (reach0, jnp.bool_(True), jnp.int32(0)))
     return reach
+
+
+
+def _window_pool(x: jax.Array, reduce_fn, fill):
+    """Exact reduce over the full 3^ndim neighborhood (separable axis
+    pools). For full connectivity this replaces the per-diagonal shift
+    chain: 3 small fused passes instead of 3^ndim - 2^ndim - ... shifted
+    operands in one giant fusion — ~3x fewer HLO ops in every
+    while_loop body (compile time) and lower register pressure (run
+    time). Separability is exact for min/max/or."""
+    for ax in range(x.ndim):
+        off_p = [0] * x.ndim
+        off_p[ax] = 1
+        off_m = [0] * x.ndim
+        off_m[ax] = -1
+        x = reduce_fn(reduce_fn(x, shifted(x, tuple(off_p), fill)),
+                      shifted(x, tuple(off_m), fill))
+    return x
 
 
 def border_mask(shape) -> jax.Array:
@@ -234,14 +254,22 @@ def label(mask: jax.Array, connectivity: int | None = None,
     size = mask.size
     lin = (jnp.arange(size, dtype=jnp.int32) + 1).reshape(mask.shape)
     lbl0 = jnp.where(mask, lin, _INF)
+    full_conn = connectivity == ndim
 
     def body(state):
         lbl, _, it = state
         cur = lbl
-        nb = cur
-        for off in shifts:
-            nb = jnp.minimum(nb, shifted(cur, off, _INF))
-        cur = jnp.where(mask, jnp.minimum(cur, nb), _INF)
+        if full_conn:
+            # full neighborhood = separable 3^ndim min-pool (includes the
+            # face steps — a superset of the diagonal step, still exact
+            # min-label propagation, just faster per round)
+            cur = jnp.where(mask, _window_pool(cur, jnp.minimum, _INF),
+                            _INF)
+        else:
+            nb = cur
+            for off in shifts:
+                nb = jnp.minimum(nb, shifted(cur, off, _INF))
+            cur = jnp.where(mask, jnp.minimum(cur, nb), _INF)
         for axis in range(ndim):
             cur = _run_min_scan(cur, mask, axis, False, max_run)
             cur = _run_min_scan(cur, mask, axis, True, max_run)

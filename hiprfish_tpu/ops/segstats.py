@@ -102,14 +102,22 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
     # d=1 step — only diagonal shifts do work here (see labeling.label).
     shifts = [s for s in _neighbor_shifts(ndim, connectivity)
               if sum(abs(o) for o in s) >= 2]
+    full_conn = connectivity == ndim
 
     def body(state):
         r, _, it = state
         cur = r
-        nb = cur
-        for off in shifts:
-            nb = jnp.maximum(nb, shifted(cur, off, jnp.int32(0)))
-        cur = jnp.where(mask, jnp.maximum(cur, nb), 0)
+        if full_conn:
+            # separable 3^ndim max-pool == one full-neighborhood step
+            # (see labeling._window_pool)
+            from hiprfish_tpu.ops.labeling import _window_pool
+            cur = jnp.where(mask, _window_pool(cur, jnp.maximum,
+                                               jnp.int32(0)), 0)
+        else:
+            nb = cur
+            for off in shifts:
+                nb = jnp.maximum(nb, shifted(cur, off, jnp.int32(0)))
+            cur = jnp.where(mask, jnp.maximum(cur, nb), 0)
         for axis in range(ndim):
             cur = _run_max_scan(cur, mask, axis, False, max_run)
             cur = _run_max_scan(cur, mask, axis, True, max_run)

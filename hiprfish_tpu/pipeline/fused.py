@@ -96,7 +96,8 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # shrinks, and reachability through ~fg implies reachability through
     # the superset ~opening(fg) — the second border flood was a no-op
     # (same identity as segment3d._segment_one_tile)
-    seed_mask = morph.binary_fill_holes(morph.binary_opening(fg))
+    seed_mask = morph.binary_fill_holes(morph.binary_opening(fg),
+                                        1, 64)
 
     # Rank the markers to sequential 1..n BEFORE flooding (gather-free
     # presence trick, ops/segstats.py): the watershed then propagates

@@ -295,7 +295,7 @@ def _segment_post_enhance(enhanced, bkg, statics):
     # numerically). The explicit & fg above makes the subset unconditional,
     # deleting the fill_holes(fg) border flood — 1.17 s/tile, the single
     # largest 3D stage (PROFILE_r02).
-    seeds_mask = morph.binary_fill_holes(interior, 1)
+    seeds_mask = morph.binary_fill_holes(interior, 1, 64)
 
     markers, n_cells = segstats.rank_labels(
         lab.label(seeds_mask & bkg, 3, ccl_iters), 3, ccl_iters)
@@ -393,7 +393,7 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     # 1.17 s/tile, the largest 3D stage (PROFILE_r02).
     interior = (enh >= jnp.maximum(thr_int, thr_fg)) & pos
     interior = morph.binary_opening(interior)
-    seeds_mask = morph.binary_fill_holes(interior, 1)
+    seeds_mask = morph.binary_fill_holes(interior, 1, 64)
     # max_run = 2*margin: seed components are cells (< margin by the tiling
     # contract), so scan doubling past that distance is dead HBM passes; a
     # longer chain just costs extra fixpoint iterations, never correctness.
