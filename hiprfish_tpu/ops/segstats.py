@@ -514,7 +514,9 @@ def label_lookup(labels: jax.Array, table: jax.Array, width: int = 512,
 def remove_small_holes_fast(mask: jax.Array, area_threshold: int = 64,
                             connectivity: int = 1,
                             num_segments: int = 32768,
-                            max_iters: int = 512) -> jax.Array:
+                            max_iters: int = 512,
+                            flood_max_run: int | None = None,
+                            exact_fallback: bool = True) -> jax.Array:
     """skimage remove_small_holes without 4M-table scatter/gather.
 
     A hole is a complement component with no border contact, so one border
@@ -528,7 +530,7 @@ def remove_small_holes_fast(mask: jax.Array, area_threshold: int = 64,
     m = mask.astype(bool)
     comp = ~m
     reach = lab.flood_reach(lab.border_mask(mask.shape), comp, connectivity,
-                            max_iters)
+                            max_iters, flood_max_run)
     holes = comp & ~reach
     # cap: a component of area < T has diameter < T, but typical holes are
     # compact; 4*sqrt(T) covers elongated ones, and longer runs only cost
@@ -548,6 +550,12 @@ def remove_small_holes_fast(mask: jax.Array, area_threshold: int = 64,
         from hiprfish_tpu.ops.morphology import remove_small_holes
         return remove_small_holes(m, area_threshold, connectivity)
 
+    if not exact_fallback:
+        # both lax.cond branches compile; the exact fallback embeds a
+        # second whole-image CCL (~5 s of XLA compile at 2000^2, measured)
+        # for the n >= num_segments case that real images never reach —
+        # callers with bounded hole counts trade it for a no-op
+        return jax.lax.cond(n < num_segments, fast, lambda s: m, seq)
     return jax.lax.cond(n < num_segments, fast, slow, seq)
 
 

@@ -62,7 +62,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
 
     fg, interior = km.brightest_cluster_masks(image_cn, (2, 3),
                                              cfg.kmeans_iters)
-    interior = segstats.remove_small_holes_fast(interior, 64)
+    interior = segstats.remove_small_holes_fast(
+        interior, 64, flood_max_run=64, exact_fallback=False)
     interior = morph.binary_opening(interior)
     # Single CCL+rank + ONE stats pass carries the whole seeding decision:
     # the reference's remove_small_objects(50) -> label -> per-erosion-round
