@@ -90,11 +90,17 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # reference's loop except when erosion splits a component (rare for
     # convex cells; segment2d.segment_ecoli keeps exact loop semantics).
     kmax = cfg.max_erosion_iters
-    depth = interior.astype(jnp.int32)
-    m = interior
-    for _ in range(kmax - 1):
+    # fori_loop, NOT a Python unroll: the 39 trace-unrolled erosion steps
+    # were 31.8 s of the engine's 46.8 s XLA compile (measured; the rolled
+    # body compiles in 0.2 s, and this stage's device time is <1 ms).
+
+    def _erode_step(_, s):
+        m, depth = s
         m = morph.binary_erosion(m) & interior
-        depth = depth + m
+        return m, depth + m
+
+    _, depth = jax.lax.fori_loop(
+        0, kmax - 1, _erode_step, (interior, interior.astype(jnp.int32)))
     depth_c = jnp.clip(depth, 0, kmax)
     dstats = segstats.label_stats(comp0, None, pre_segments, width=256,
                                   aux=depth_c, aux_classes=kmax + 1)
