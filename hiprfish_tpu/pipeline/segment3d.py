@@ -394,12 +394,14 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     interior = (enh >= jnp.maximum(thr_int, thr_fg)) & pos
     interior = morph.binary_opening(interior)
     seeds_mask = morph.binary_fill_holes(interior, 1, 64)
-    # max_run = 2*margin: seed components are cells (< margin by the tiling
-    # contract), so scan doubling past that distance is dead HBM passes; a
-    # longer chain just costs extra fixpoint iterations, never correctness.
+    # max_run = margin: seed components are cells (< margin by the tiling
+    # contract), so scan doubling past that distance is dead HBM passes
+    # AND dead compile (each doubling step is unrolled in the while body);
+    # a longer chain just costs extra fixpoint iterations, never
+    # correctness.
     markers0, _n = segstats.rank_labels(
-        lab.label(seeds_mask & bkg, 3, ccl_iters, 2 * margin), 3, ccl_iters,
-        2 * margin)
+        lab.label(seeds_mask & bkg, 3, ccl_iters, margin), 3, ccl_iters,
+        margin)
     markers0 = jnp.minimum(markers0, tile_cap - 1)
     # Small-seed filter AFTER the single CCL+rank (the pre-filter
     # remove_small_objects ran a second full CCL — 2.3 s of the 5.1 s
