@@ -30,8 +30,10 @@ os.environ.setdefault("HIPRFISH_CACHE_DIR",
 
 import numpy as np
 
-from hiprfish_tpu.utils.platform import apply_compile_cache_env
+from hiprfish_tpu.utils.platform import apply_compile_cache_env, \
+    maybe_register_pinned_axon_session
 
+maybe_register_pinned_axon_session()
 apply_compile_cache_env()
 
 
@@ -315,6 +317,13 @@ def _run_config_subprocess(config: str, timeout_s: int = 1500):
     import subprocess
 
     env = dict(os.environ, BENCH_CONFIG=config)
+    sid = os.environ.get("HIPRFISH_AXON_SESSION")
+    if sid:
+        # pin the axon session id across config subprocesses so the
+        # persistent compile cache hits (see
+        # utils.platform.maybe_register_pinned_axon_session)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["HIPRFISH_AXON_MANUAL_SESSION"] = sid
     p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                        capture_output=True, text=True, env=env,
                        timeout=timeout_s)

@@ -38,6 +38,36 @@ def apply_compile_cache_env() -> None:
         pass
 
 
+def maybe_register_pinned_axon_session() -> None:
+    """Opt-in fix for the per-process compile-cache salt on the tunneled
+    TPU platform: the boot hook registers the axon backend with a fresh
+    uuid4 ``session_id`` per interpreter, which keys every persistent
+    compile-cache entry — two identical runs never share an entry
+    (measured), so every cold process pays the full ~30-50 s of XLA
+    compiles.
+
+    When ``HIPRFISH_AXON_MANUAL_SESSION`` is set (and the boot hook was
+    skipped by clearing ``PALLAS_AXON_POOL_IPS`` in the child env — see
+    bench.py's orchestrator), register the backend here with that PINNED
+    session id instead, making the persistent cache hit across processes.
+    No-op unless both env conditions hold."""
+    sid = os.environ.get("HIPRFISH_AXON_MANUAL_SESSION")
+    if not sid or os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    os.environ["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
+    os.environ["AXON_LOOPBACK_RELAY"] = "1"
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    from axon.register import register
+
+    register(
+        None,
+        os.environ.get("PALLAS_AXON_TPU_GEN", "v5e") + ":1x1x1",
+        so_path="/opt/axon/libaxon_pjrt.so",
+        session_id=sid,
+        remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
+    )
+
+
 def apply_platform_env() -> None:
     apply_compile_cache_env()
     spec = os.environ.get("HIPRFISH_PLATFORM")
