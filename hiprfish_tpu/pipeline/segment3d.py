@@ -386,7 +386,6 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     enh = jnp.transpose(enh, (0, 2, 1)).astype(jnp.float32)
     bkg = jnp.transpose(bkg, (0, 2, 1))
     pos = enh > 0
-    fg = (enh >= thr_fg) & pos
     # max(thr_int, thr_fg) forces interior ⊆ fg, which makes
     # fill(interior) & fill(fg) == fill(interior) an identity (see
     # _segment_post_enhance) — the fill_holes(fg) border flood was
@@ -394,6 +393,21 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     interior = (enh >= jnp.maximum(thr_int, thr_fg)) & pos
     interior = morph.binary_opening(interior)
     seeds_mask = morph.binary_fill_holes(interior, 1, 64)
+    return _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes)
+
+
+def _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes):
+    """Post-seeds tile body in the transposed (sx, Z, Y) layout: tile-local
+    CCL + rank over the seed mask, small-seed filter, watershed, margin
+    crop, id-presence bitmap, right-boundary plane pair. Shared between the
+    in-tile seeds path (_segment_one_tile) and the hoisted global-seeds
+    path (_segment_one_tile_seeded)."""
+    from hiprfish_tpu.ops import segstats
+
+    (seed_min, ccl_iters, ws_iters, tile_cap) = statics
+    (tile_x, margin) = shapes
+    pos = enh > 0
+    fg = (enh >= thr_fg) & pos
     # max_run = margin: seed components are cells (< margin by the tiling
     # contract), so scan doubling past that distance is dead HBM passes
     # AND dead compile (each doubling step is unrolled in the while body);
@@ -446,6 +460,48 @@ def _segment_tile_at(enhanced_p, bkg_p, thresholds, start, statics, shapes):
     return _segment_one_tile(enh, bkg, thresholds, statics, shapes)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _global_seeds(enhanced, thr_seed, max_run: int = 128):
+    """Watershed seed mask for the WHOLE volume in one program:
+    threshold -> opening -> border-flood fill-holes, in the original
+    (x, Y, Z) layout. Hoisting this out of the per-tile program cuts the
+    tile executable's XLA compile by the whole opening+fill subgraph and
+    deletes the margin-overlap redundancy (every voxel's seeds were
+    computed up to twice across neighboring slabs); full-volume fill is
+    also *exactly* the untiled semantics rather than exact-up-to-margin.
+    Costs ~3 full-volume bool temporaries (Z-minor pads 170->256), so the
+    caller falls back to in-tile seeds on RESOURCE_EXHAUSTED."""
+    pos = enhanced > 0
+    interior = (enhanced.astype(jnp.float32) >= thr_seed) & pos
+    interior = morph.binary_opening(interior)
+    return morph.binary_fill_holes(interior, 1, max_run)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _segment_one_tile_seeded(enh, bkg, seeds_mask, thr_fg, statics, shapes):
+    """_segment_one_tile with the seed mask precomputed by _global_seeds —
+    the tile program shrinks to threshold + CCL/rank + watershed (the
+    opening/fill-holes subgraph is gone from its compile)."""
+    enh = jnp.transpose(enh, (0, 2, 1)).astype(jnp.float32)
+    bkg = jnp.transpose(bkg, (0, 2, 1))
+    seeds_mask = jnp.transpose(seeds_mask, (0, 2, 1))
+    return _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _segment_tile_at_seeded(enhanced_p, bkg_p, seeds_p, thr_fg, start,
+                            statics, shapes):
+    """Seeded analogue of _segment_tile_at: slab slice (enh, bkg, seeds)
+    + tile segmentation as ONE dispatched program with a traced start."""
+    tile_x, margin = shapes
+    slab_x = tile_x + 2 * margin
+    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
+    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, y, z))
+    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, y, z))
+    seeds = jax.lax.dynamic_slice(seeds_p, (start, 0, 0), (slab_x, y, z))
+    return _segment_one_tile_seeded(enh, bkg, seeds, thr_fg, statics, shapes)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _remap_tile(labels, full_table, t, tile_cap, width):
     """Jitted remap of one tile's labels through its slice of the global
@@ -476,35 +532,52 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
      theta_range, phi_range) = statics
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
-    enhanced_p, bkg_p = boxes.pop()
+    enhanced_p, bkg_p, seeds_p = boxes.pop()
     y, z = enhanced_p.shape[1], enhanced_p.shape[2]
     n_dev = mesh.shape["fov"]
     nt = n_tiles + ((-n_tiles) % n_dev)
     starts = [min(t, n_tiles - 1) * tile_x for t in range(nt)]
-    slabs_e = jnp.stack([jax.lax.slice(enhanced_p, (s, 0, 0),
-                                       (s + slab_x, y, z)) for s in starts])
-    slabs_b = jnp.stack([jax.lax.slice(bkg_p, (s, 0, 0),
-                                       (s + slab_x, y, z)) for s in starts])
-    del enhanced_p, bkg_p
-    sharding = NamedSharding(mesh, P("fov"))
-    slabs_e = jax.device_put(slabs_e, sharding)
-    slabs_b = jax.device_put(slabs_b, sharding)
+
+    def cut(vol):
+        slabs = jnp.stack([jax.lax.slice(vol, (s, 0, 0), (s + slab_x, y, z))
+                           for s in starts])
+        return jax.device_put(slabs, NamedSharding(mesh, P("fov")))
+
+    slabs_e, slabs_b = cut(enhanced_p), cut(bkg_p)
+    slabs_s = cut(seeds_p) if seeds_p is not None else None
+    del enhanced_p, bkg_p, seeds_p
     thr = jax.device_put(jnp.stack([thresholds[0], thresholds[1]]),
                          NamedSharding(mesh, P()))
+    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap)
 
-    def local(se, sb, th):
-        def one(args):
-            e, b = args
-            return _segment_one_tile(
-                e, b, (th[0], th[1]),
-                (seed_min, ccl_iters, ws_iters, tile_cap), (tile_x, margin))
+    if slabs_s is None:
+        def local(se, sb, th):
+            def one(args):
+                e, b = args
+                return _segment_one_tile(e, b, (th[0], th[1]),
+                                         tile_statics, (tile_x, margin))
 
-        return jax.lax.map(one, (se, sb))
+            return jax.lax.map(one, (se, sb))
 
-    run = jax.jit(shard_map(
-        local, mesh=mesh, in_specs=(P("fov"), P("fov"), P()),
-        out_specs=P("fov"), check_vma=False))
-    outs, presents, planes = run(slabs_e, slabs_b, thr)
+        run = jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P("fov"), P("fov"), P()),
+            out_specs=P("fov"), check_vma=False))
+        outs, presents, planes = run(slabs_e, slabs_b, thr)
+    else:
+        def local_seeded(se, sb, ss, th):
+            def one(args):
+                e, b, s = args
+                return _segment_one_tile_seeded(e, b, s, th[0],
+                                                tile_statics,
+                                                (tile_x, margin))
+
+            return jax.lax.map(one, (se, sb, ss))
+
+        run = jax.jit(shard_map(
+            local_seeded, mesh=mesh,
+            in_specs=(P("fov"), P("fov"), P("fov"), P()),
+            out_specs=P("fov"), check_vma=False))
+        outs, presents, planes = run(slabs_e, slabs_b, slabs_s, thr)
     jax.block_until_ready(presents)
     log(f"mesh sweep: {nt} slabs over {n_dev} devices")
     return ([outs[t] for t in range(n_tiles)], presents[:n_tiles],
@@ -514,7 +587,7 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
 def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
                         mesh=None):
     """Host-looped sweep of _segment_one_tile. ``boxes`` is a single-element
-    list [(enhanced_p, bkg_p)]; it is emptied before the per-tile outputs
+    list [(enhanced_p, bkg_p, seeds_p-or-None)]; it is emptied before the per-tile outputs
     are stacked so the 4 GB padded inputs free first. Returns stacked
     (tiles, tile_x, Y, Z) labels, (tiles, tile_cap) presence, and
     (tiles, 2, Y, Z) boundary planes. With ``mesh``, tiles shard across
@@ -526,19 +599,25 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
      theta_range, phi_range) = statics
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
-    enhanced_p, bkg_p = boxes.pop()
+    enhanced_p, bkg_p, seeds_p = boxes.pop()
+    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap)
     outs, presents, planes = [], [], []
     for t in range(n_tiles):
-        o, p, pl = _segment_tile_at(
-            enhanced_p, bkg_p, thresholds, np.int32(t * tile_x),
-            (seed_min, ccl_iters, ws_iters, tile_cap), (tile_x, margin))
+        if seeds_p is None:
+            o, p, pl = _segment_tile_at(
+                enhanced_p, bkg_p, thresholds, np.int32(t * tile_x),
+                tile_statics, (tile_x, margin))
+        else:
+            o, p, pl = _segment_tile_at_seeded(
+                enhanced_p, bkg_p, seeds_p, thresholds[0],
+                np.int32(t * tile_x), tile_statics, (tile_x, margin))
         outs.append(o)
         presents.append(p)
         planes.append(pl)
         if t % 4 == 0 or t == n_tiles - 1:
             jax.block_until_ready(p)
             log(f"tile {t + 1}/{n_tiles}")
-    del enhanced_p, bkg_p
+    del enhanced_p, bkg_p, seeds_p
     # outs stays a LIST: stacking the full volume here plus the later
     # global remap pass held three full-volume buffers at once (measured
     # RESOURCE_EXHAUSTED at the reference scale)
@@ -575,6 +654,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     guarantee the programs are ready (optional — the jit cache is
     populated whenever the threads finish).
     """
+    import os
     import threading
 
     x, y, z = shape
@@ -584,13 +664,28 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
                cfg.watershed_max_iters, tile_cap)
     f32 = jnp.float32
     scalar_f32 = jax.ShapeDtypeStruct((), f32)
+    use_seeded = os.environ.get("HIPRFISH_3D_GLOBAL_SEEDS", "1") != "0"
+
+    def warm_seeds():
+        # the global-seeds program runs FIRST at runtime (right after
+        # thresholds) — give it its own thread so it doesn't queue behind
+        # the tile program (server-side compiles overlap, measured 1.4x)
+        _global_seeds.lower(
+            jax.ShapeDtypeStruct((x, y, z), jnp.bfloat16),
+            scalar_f32).compile()
 
     def warm_tile():
         enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bfloat16)
         bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
         start = jax.ShapeDtypeStruct((), jnp.int32)
-        _segment_tile_at.lower(enh, bkg, (scalar_f32, scalar_f32), start,
-                               statics, (tile_x, margin)).compile()
+        if use_seeded:
+            seeds = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
+            _segment_tile_at_seeded.lower(
+                enh, bkg, seeds, scalar_f32, start, statics,
+                (tile_x, margin)).compile()
+        else:
+            _segment_tile_at.lower(enh, bkg, (scalar_f32, scalar_f32),
+                                   start, statics, (tile_x, margin)).compile()
         # The remap program runs right after the tile sweep; compile it
         # next (sequentially, after the tile program lands) so the merge
         # stage doesn't pay its compile on the critical path.
@@ -619,6 +714,8 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
             acc, seg_zxy, img, z0, measure_width, z_chunk).compile()
 
     targets = [warm_tile]
+    if use_seeded:
+        targets.append(warm_seeds)
     if n_channels is not None and jax.default_backend() not in ("cpu",
                                                                 "gpu"):
         targets.append(warm_measure)
@@ -700,20 +797,42 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,
                                  cfg.kmeans_iters)
 
+    # Hoisted seed mask (opening + fill-holes) for the whole volume in one
+    # program — the per-tile programs then just slice it (smaller tile
+    # compile, no margin-overlap redundancy, exact untiled fill semantics).
+    # ~3 full-volume bool temporaries live inside the flood's while body;
+    # if that overflows HBM, fall back to computing seeds inside each tile.
+    seeds = None
+    if _os.environ.get("HIPRFISH_3D_GLOBAL_SEEDS", "1") != "0":
+        try:
+            seeds = _global_seeds(enhanced, jnp.maximum(thr_fg, thr_int))
+            jax.block_until_ready(seeds)
+            _log("global seeds")
+        except Exception as e:  # pragma: no cover - backend OOM only
+            if not oom.is_oom_error(e):
+                raise
+            _log("global seeds RESOURCE_EXHAUSTED -> in-tile fallback")
+            seeds = None
+
     n_tiles = -(-x // tile_x)
     pad_r = n_tiles * tile_x - x + margin
     enhanced_p = jnp.pad(enhanced, ((margin, pad_r), (0, 0), (0, 0)),
                          mode="edge")
     del enhanced
     bkg_p = jnp.pad(bkg, ((margin, pad_r), (0, 0), (0, 0)), mode="edge")
+    seeds_p = None
+    if seeds is not None:
+        seeds_p = jnp.pad(seeds, ((margin, pad_r), (0, 0), (0, 0)),
+                          mode="edge")
+        del seeds
 
     statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
                cfg.watershed_max_iters, tile_cap, cfg.patch_size,
                cfg.theta_range, cfg.phi_range)
     _log(f"thr_fg={float(thr_fg):.3f} thr_int={float(thr_int):.3f}; "
          f"{n_tiles} tiles")
-    box = [(enhanced_p, bkg_p)]
-    del enhanced_p, bkg_p
+    box = [(enhanced_p, bkg_p, seeds_p)]
+    del enhanced_p, bkg_p, seeds_p
     tiles_seg, tile_present, planes = _tiled_segment_pass(
         box, (thr_fg, thr_int), statics, (tile_x, margin, n_tiles),
         log=_log, mesh=mesh)

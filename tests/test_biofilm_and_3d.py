@@ -270,3 +270,22 @@ def test_segment_3d_tiled_matches_full_volume():
         assert inter / union > 0.9, v
         assert best not in used  # bijective: no two cells merged
         used.add(best)
+
+
+@pytest.mark.slow
+def test_tiled_global_seeds_matches_in_tile_seeds(monkeypatch):
+    """The hoisted full-volume seed mask (_global_seeds + seeded tile
+    program) must reproduce the in-tile opening/fill path exactly: the
+    margins make the in-tile seeds exact for any structure narrower than
+    the margin, and full-volume fill is the untiled semantics itself."""
+    codes = [1, 9, 65, 127, 3, 5]
+    stack, _ = _make_volume_stack(codes, shape=(144, 96, 40))
+    vol_sum = jnp.sum(segment3d.register_volume_stack(stack), axis=3)
+    cfg = SegmentationConfig(kmeans_iters=20)
+    kw = dict(max_cells=64, tile_x=48, margin=32, tile_cap=64, chunk_xy=48)
+    monkeypatch.setenv("HIPRFISH_3D_GLOBAL_SEEDS", "0")
+    seg_off, n_off, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
+    monkeypatch.setenv("HIPRFISH_3D_GLOBAL_SEEDS", "1")
+    seg_on, n_on, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
+    assert int(n_on) == int(n_off)
+    np.testing.assert_array_equal(np.asarray(seg_on), np.asarray(seg_off))
