@@ -328,11 +328,14 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
 if __name__ == "__main__":
     import json
 
+    kw = {}
     scale = os.environ.get("BENCH3D_SCALE")
     if scale:
         f = float(scale)
-        shape = (int(2020 * f) // 4 * 4, int(2020 * f) // 4 * 4,
-                 int(170 * f) // 2 * 2)
-        print(json.dumps(run(shape=shape)))
-    else:
-        print(json.dumps(run()))
+        kw["shape"] = (int(2020 * f) // 4 * 4, int(2020 * f) // 4 * 4,
+                       int(170 * f) // 2 * 2)
+    # measurement-chunk depth experiment knob (PROFILE_r03 lead 3)
+    zc = os.environ.get("BENCH3D_ZCHUNK")
+    if zc:
+        kw["z_chunk"] = int(zc)
+    print(json.dumps(run(**kw)))
