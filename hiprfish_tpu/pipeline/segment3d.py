@@ -806,7 +806,11 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     if _os.environ.get("HIPRFISH_3D_GLOBAL_SEEDS", "1") != "0":
         try:
             seeds = _global_seeds(enhanced, jnp.maximum(thr_fg, thr_int))
-            jax.block_until_ready(seeds)
+            # real sync: a scalar host read surfaces a RESOURCE_EXHAUSTED
+            # here, inside the try (block_until_ready does NOT block under
+            # the tunneled TPU platform, measured — an async OOM would
+            # otherwise escape this handler and kill the run)
+            bool(seeds[0, 0, 0])
             _log("global seeds")
         except Exception as e:  # pragma: no cover - backend OOM only
             if not oom.is_oom_error(e):
