@@ -50,6 +50,40 @@ def batched_fov_step(mesh, cfg: SegmentationConfig, max_cells: int,
     return call
 
 
+def batched_fov_step_ecoli(mesh, cfg: SegmentationConfig, max_cells: int,
+                           clf_static, classify_cap: int = 2048):
+    """10-bit counterpart of batched_fov_step: the fused 1023-class engine
+    (pipeline/fused_ecoli.fov_step_ecoli) swept per device under lax.map
+    with the batch sharded over 'fov'. Returns (stack_tuple, clf_arrays) ->
+    (seg, n_cells, avgint_norm, code_idx, max_prob), leading batch dims."""
+    from jax import shard_map
+
+    from hiprfish_tpu.pipeline import fused_ecoli
+
+    def local(stack, clf_arrays):
+        def step(st):
+            return fused_ecoli.fov_step_ecoli(st, clf_arrays, cfg,
+                                              max_cells, clf_static,
+                                              classify_cap)
+
+        return jax.lax.map(step, stack)
+
+    run = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("fov"), P()),
+        out_specs=P("fov"),
+        check_vma=False,
+    ))
+
+    def call(stack, clf_arrays):
+        sharding = NamedSharding(mesh, P("fov"))
+        stack = tuple(jax.device_put(s, sharding) for s in stack)
+        clf_arrays = jax.device_put(clf_arrays, NamedSharding(mesh, P()))
+        return run(stack, clf_arrays)
+
+    return call
+
+
 def run_batch_pipeline(samples, clf, cfg: SegmentationConfig | None = None,
                        max_cells: int = 4096, batch: int | None = None,
                        mesh=None, denoise: bool = True, out_dir: str = "."):

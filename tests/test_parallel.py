@@ -41,6 +41,39 @@ def test_batched_fov_step_dp(mesh8):
     assert (n == n[0]).all() and n[0] >= 3  # identical FOVs -> identical cells
 
 
+@pytest.mark.slow
+def test_batched_fov_step_ecoli_dp(mesh8):
+    """The 10-bit fused engine under DP sharding: distinct FOVs sharded
+    over 'fov' must reproduce the single-device program per FOV."""
+    from hiprfish_tpu.config import TEN_BIT, SegmentationConfig
+    from hiprfish_tpu.pipeline import fused_ecoli
+    from hiprfish_tpu.utils import synthetic
+    import __graft_entry__ as g
+
+    codes, (arrays, static) = g._tiny_ecoli10b_classifier()
+    stacks = []
+    for i in range(2):
+        f = synthetic.make_fov(TEN_BIT, codes[:6 + 3 * i], shape=(192, 192),
+                               seed=20 + i, cell_axes=(9.0, 14.0))
+        stacks.append(tuple(np.asarray(a, np.float32) for a in f["stack"]))
+    stacks = stacks + stacks                      # B=4 = the mesh 'fov' size
+    batched = tuple(np.stack([s[li] for s in stacks])
+                    for li in range(len(stacks[0])))
+    cfg = SegmentationConfig(watershed_max_iters=64, ccl_max_iters=128,
+                             kmeans_iters=10)
+    run = fov_batch.batched_fov_step_ecoli(mesh8, cfg, 64, static,
+                                           classify_cap=64)
+    _, n_dp, _, code_dp, _ = run(batched, arrays)
+    n_dp = np.asarray(n_dp)
+    assert n_dp[0] != n_dp[1] and (n_dp[:2] == n_dp[2:]).all(), n_dp
+    for i in (0, 1):
+        ref = fused_ecoli.fov_step_ecoli(stacks[i], arrays, cfg, 64,
+                                         static, 64)
+        assert int(ref[1]) == int(n_dp[i])
+        np.testing.assert_array_equal(np.asarray(ref[3]),
+                                      np.asarray(code_dp[i]))
+
+
 def test_dp_training_psum(mesh8, rng):
     from hiprfish_tpu.models.classifier import _init_mlp, _mlp_logit
 
