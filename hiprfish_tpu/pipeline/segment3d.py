@@ -372,7 +372,6 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     from hiprfish_tpu.ops import segstats
 
     (thr_fg, thr_int) = thresholds
-    (seed_min, ccl_iters, ws_iters, tile_cap) = statics
     (tile_x, margin) = shapes
 
     # Slab-local relayout (sx, Y, Z) -> (sx, Z, Y): the TPU pads the minor
@@ -404,18 +403,21 @@ def _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes):
     path (_segment_one_tile_seeded)."""
     from hiprfish_tpu.ops import segstats
 
-    (seed_min, ccl_iters, ws_iters, tile_cap) = statics
+    (seed_min, ccl_iters, ws_iters, tile_cap) = statics[:4]
+    # optional 5th static: the id floods' scan-doubling cap (defaults to
+    # the margin). Seed components are cells (< margin by the tiling
+    # contract), so doubling past their extent is dead HBM passes AND dead
+    # compile (each doubling step is unrolled in the while body); a
+    # too-small cap only adds fixpoint iterations, never changes the
+    # result. HIPRFISH_3D_SCAN_CAP threads in here via segment_3d_tiled.
     (tile_x, margin) = shapes
+    cap = min(margin, statics[4]) if len(statics) > 4 and statics[4] \
+        else margin
     pos = enh > 0
     fg = (enh >= thr_fg) & pos
-    # max_run = margin: seed components are cells (< margin by the tiling
-    # contract), so scan doubling past that distance is dead HBM passes
-    # AND dead compile (each doubling step is unrolled in the while body);
-    # a longer chain just costs extra fixpoint iterations, never
-    # correctness.
     markers0, _n = segstats.rank_labels(
-        lab.label(seeds_mask & bkg, 3, ccl_iters, margin), 3, ccl_iters,
-        margin)
+        lab.label(seeds_mask & bkg, 3, ccl_iters, cap), 3, ccl_iters,
+        cap)
     markers0 = jnp.minimum(markers0, tile_cap - 1)
     # Small-seed filter AFTER the single CCL+rank (the pre-filter
     # remove_small_objects ran a second full CCL — 2.3 s of the 5.1 s
@@ -458,6 +460,16 @@ def _segment_tile_at(enhanced_p, bkg_p, thresholds, start, statics, shapes):
     enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, y, z))
     bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, y, z))
     return _segment_one_tile(enh, bkg, thresholds, statics, shapes)
+
+
+def _scan_cap() -> int:
+    """HIPRFISH_3D_SCAN_CAP: optional tighter doubling cap for the tile id
+    floods (0 = default to the margin). Read once per sweep and threaded
+    through the STATIC args so jit caching and AOT warmup stay coherent."""
+    import os
+
+    v = os.environ.get("HIPRFISH_3D_SCAN_CAP")
+    return int(v) if v else 0
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -529,7 +541,7 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
-     theta_range, phi_range) = statics
+     theta_range, phi_range, scan_cap) = statics
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
     enhanced_p, bkg_p, seeds_p = boxes.pop()
@@ -548,7 +560,8 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
     del enhanced_p, bkg_p, seeds_p
     thr = jax.device_put(jnp.stack([thresholds[0], thresholds[1]]),
                          NamedSharding(mesh, P()))
-    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap)
+    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap,
+                    scan_cap)
 
     if slabs_s is None:
         def local(se, sb, th):
@@ -596,11 +609,12 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
         return _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes,
                                         log, mesh)
     (kmeans_iters, seed_min, ccl_iters, ws_iters, tile_cap, patch_size,
-     theta_range, phi_range) = statics
+     theta_range, phi_range, scan_cap) = statics
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
     enhanced_p, bkg_p, seeds_p = boxes.pop()
-    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap)
+    tile_statics = (seed_min, ccl_iters, ws_iters, tile_cap,
+                    scan_cap)
     outs, presents, planes = [], [], []
     for t in range(n_tiles):
         if seeds_p is None:
@@ -661,7 +675,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     n_tiles = -(-x // tile_x)
     padded_x = n_tiles * tile_x + 2 * margin
     statics = (cfg.lp_seed_min_size, cfg.ccl_max_iters,
-               cfg.watershed_max_iters, tile_cap)
+               cfg.watershed_max_iters, tile_cap, _scan_cap())
     f32 = jnp.float32
     scalar_f32 = jax.ShapeDtypeStruct((), f32)
     use_seeded = os.environ.get("HIPRFISH_3D_GLOBAL_SEEDS", "1") != "0"
@@ -832,7 +846,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
 
     statics = (cfg.kmeans_iters, cfg.lp_seed_min_size, cfg.ccl_max_iters,
                cfg.watershed_max_iters, tile_cap, cfg.patch_size,
-               cfg.theta_range, cfg.phi_range)
+               cfg.theta_range, cfg.phi_range, _scan_cap())
     _log(f"thr_fg={float(thr_fg):.3f} thr_int={float(thr_int):.3f}; "
          f"{n_tiles} tiles")
     box = [(enhanced_p, bkg_p, seeds_p)]

@@ -289,3 +289,9 @@ def test_tiled_global_seeds_matches_in_tile_seeds(monkeypatch):
     seg_on, n_on, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
     assert int(n_on) == int(n_off)
     np.testing.assert_array_equal(np.asarray(seg_on), np.asarray(seg_off))
+    # a tighter id-flood scan cap only adds fixpoint iterations, never
+    # changes the result (exactness held by the while_loop)
+    monkeypatch.setenv("HIPRFISH_3D_SCAN_CAP", "8")
+    seg_cap, n_cap, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
+    assert int(n_cap) == int(n_on)
+    np.testing.assert_array_equal(np.asarray(seg_cap), np.asarray(seg_on))
