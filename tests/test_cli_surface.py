@@ -113,6 +113,58 @@ def test_cli_analyze_multispecies(tmp_path, rng):
             / "multispecies_representative_cell_spectra.pdf").exists()
 
 
+def test_cli_train_direct(tmp_path):
+    from hiprfish_tpu.cli import train as cli_train
+    from hiprfish_tpu.utils import synthetic
+
+    ref = tmp_path / "ref"
+    ref.mkdir()
+    synthetic.write_reference_folder(TEN_BIT, str(ref), [5, 37, 515],
+                                     cells_per_code=25, seed=0)
+    cli_train.main([str(ref), "-v", "direct"])
+
+
+@pytest.mark.slow
+def test_cli_measure_multispecies_and_biofilm_2d(tmp_path, monkeypatch, rng):
+    """The multispecies measure CLI and the biofilm CLI (-d 2, directory
+    scan + probe-design taxon lookup + classifier artifact resolution)."""
+    from hiprfish_tpu.cli import biofilm as cli_biofilm
+    from hiprfish_tpu.cli import measure_multispecies as cli_ms
+    from hiprfish_tpu.config import SEVEN_BIT
+    from hiprfish_tpu.models.artifacts import save_classifier
+    from hiprfish_tpu.utils import synthetic
+    from tests.test_biofilm_and_3d import _quick_classifier
+
+    codes = [1, 9, 65, 127, 34, 88]
+    fov = synthetic.make_fov(SEVEN_BIT, codes, shape=(192, 192), seed=5,
+                             cell_axes=(7.0, 12.0))
+    folder = tmp_path / "fovs"
+    folder.mkdir()
+    for laser, plane in zip(SEVEN_BIT.lasers, fov["stack"]):
+        np.save(folder / f"sampleA_{laser}.npy",
+                np.asarray(plane, np.float32))
+
+    monkeypatch.chdir(folder)
+    names = [f"sampleA_{laser}.npy" for laser in SEVEN_BIT.lasers]
+    cli_ms.main(["-i", *names, "--max_cells", "64"])
+    for suffix in ("_seg.npy", "_registered.npy", "_avgint_norm.csv"):
+        assert os.path.exists("sampleA" + suffix), suffix
+    assert int(np.load("sampleA_seg.npy").max()) >= len(codes) - 1
+
+    clf = _quick_classifier(codes)
+    clf_path = tmp_path / "clf_7b.npz"
+    save_classifier(str(clf_path), clf)
+    probes = tmp_path / "probes.csv"
+    pd.DataFrame({"target_taxon": [100 + i for i in range(len(codes))],
+                  "code": [SEVEN_BIT.code_str(c) for c in codes]}).to_csv(
+        probes, index=False)
+    cli_biofilm.main([str(folder), "-p", str(probes), "-r", str(clf_path),
+                      "-d", "2", "--max_cells", "64"])
+    assert os.path.exists(str(folder / "sampleA_cell_information.csv"))
+    assert os.path.exists(str(tmp_path / "fovs" / "taxon_color_lookup.csv")) \
+        or os.path.exists(str(folder / "taxon_color_lookup.csv"))
+
+
 @pytest.mark.slow
 def test_cli_workflow_ecoli_end_to_end(tmp_path, monkeypatch):
     """The Snakemake-replacement driver through its CLI: config JSON ->
