@@ -254,6 +254,13 @@ def label(mask: jax.Array, connectivity: int | None = None,
     size = mask.size
     lin = (jnp.arange(size, dtype=jnp.int32) + 1).reshape(mask.shape)
     lbl0 = jnp.where(mask, lin, _INF)
+    # (No coarse-block pre-seeding here, deliberately: the segmented run
+    # scans below already propagate across whole straight spans per round,
+    # so fixpoint rounds are bound by component TORTUOSITY, not size —
+    # measured 3 rounds with or without solid-block seeding on both
+    # cell-sized and 1100-px components. flood_reach keeps its coarse
+    # route because the fill-holes background is the one high-tortuosity
+    # large component in the pipelines.)
     full_conn = connectivity == ndim
 
     def body(state):

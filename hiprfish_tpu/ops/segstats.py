@@ -86,6 +86,8 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
     order matches relabel_sequential (ascending original id = ascending
     min-index), so downstream CSV contracts are unchanged.
     """
+    from hiprfish_tpu.ops.labeling import _run_min_scan, _window_pool
+
     ndim = labels.ndim
     mask = labels > 0
     size = labels.size
@@ -93,13 +95,18 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
     rep = mask & (labels == lin)                      # component representative
     ranks_flat = jnp.cumsum(rep.reshape(-1).astype(jnp.int32))
     n = ranks_flat[-1]
-    rank0 = jnp.where(rep, ranks_flat.reshape(labels.shape), 0)
 
-    # Flood each representative's rank over its component. Distinct
-    # components are never within the connectivity neighborhood of each
-    # other (else they would be one component), so mask-gated propagation
-    # cannot mix ranks across components. Face shifts are the axis scans'
-    # d=1 step — only diagonal shifts do work here (see labeling.label).
+    # DENSE min-flood formulation: at every masked pixel the running count
+    # of representatives at its own position is >= its component's rank,
+    # with equality exactly at the representative (the component's
+    # min-index pixel) — so the rank image is the component-wise MIN of
+    # this dense field. Distinct components are never within the
+    # connectivity neighborhood of each other (else they would be one
+    # component), so mask-gated propagation cannot mix ranks. The dense
+    # field reuses label()'s min-flood machinery wholesale (the old sparse
+    # rank0 max-flood was a second, mirrored implementation).
+    dense0 = jnp.where(mask, ranks_flat.reshape(labels.shape), _INF)
+
     shifts = [s for s in _neighbor_shifts(ndim, connectivity)
               if sum(abs(o) for o in s) >= 2]
     full_conn = connectivity == ndim
@@ -108,27 +115,26 @@ def rank_labels(labels: jax.Array, connectivity: int = 2,
         r, _, it = state
         cur = r
         if full_conn:
-            # separable 3^ndim max-pool == one full-neighborhood step
+            # separable 3^ndim min-pool == one full-neighborhood step
             # (see labeling._window_pool)
-            from hiprfish_tpu.ops.labeling import _window_pool
-            cur = jnp.where(mask, _window_pool(cur, jnp.maximum,
-                                               jnp.int32(0)), 0)
+            cur = jnp.where(mask, _window_pool(cur, jnp.minimum, _INF),
+                            _INF)
         else:
             nb = cur
             for off in shifts:
-                nb = jnp.maximum(nb, shifted(cur, off, jnp.int32(0)))
-            cur = jnp.where(mask, jnp.maximum(cur, nb), 0)
+                nb = jnp.minimum(nb, shifted(cur, off, _INF))
+            cur = jnp.where(mask, jnp.minimum(cur, nb), _INF)
         for axis in range(ndim):
-            cur = _run_max_scan(cur, mask, axis, False, max_run)
-            cur = _run_max_scan(cur, mask, axis, True, max_run)
+            cur = _run_min_scan(cur, mask, axis, False, max_run)
+            cur = _run_min_scan(cur, mask, axis, True, max_run)
         return cur, jnp.any(cur != r), it + 1
 
     def cond(state):
         return state[1] & (state[2] < max_iters)
 
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank0, jnp.bool_(True), jnp.int32(0)))
-    return rank, n
+        cond, body, (dense0, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(mask, rank, 0), n
 
 
 class LabelStats(NamedTuple):
