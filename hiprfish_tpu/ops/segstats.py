@@ -50,31 +50,6 @@ from hiprfish_tpu.ops.labeling import _neighbor_shifts, shifted
 _INF = 2**30
 
 
-def _run_max_scan(values: jax.Array, mask: jax.Array, axis: int,
-                  reverse: bool, max_run: int | None = None) -> jax.Array:
-    """Propagate the running max of ``values`` along contiguous True-runs of
-    ``mask`` (mirror of labeling._run_min_scan; fill/identity is 0).
-    ``max_run`` caps the doubling distance as in labeling._run_min_scan."""
-    off = [0] * mask.ndim
-    off[axis] = -1 if reverse else 1
-    prev_mask = shifted(mask, tuple(off), False)
-    gate = mask & prev_mask
-    n = values.shape[axis]
-    if max_run is not None:
-        n = min(n, max_run)
-    g, v = gate, values
-    d = 1
-    while d < n:
-        off_d = [0] * mask.ndim
-        off_d[axis] = -d if reverse else d
-        ga = shifted(g, tuple(off_d), False)
-        va = shifted(v, tuple(off_d), jnp.int32(0))
-        v = jnp.where(g, jnp.maximum(va, v), v)
-        g = g & ga
-        d *= 2
-    return jnp.where(mask, v, values)
-
-
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def rank_labels(labels: jax.Array, connectivity: int = 2,
                 max_iters: int = 512, max_run: int | None = None):
