@@ -326,15 +326,6 @@ def clear_border(labels: jax.Array):
     return jnp.where(drop, 0, labels)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def label_counts(labels: jax.Array, num_segments: int):
-    """Pixel count per label id (index 0 = background)."""
-    flat = labels.reshape(-1).astype(jnp.int32)
-    return jnp.zeros((num_segments,), jnp.int32).at[
-        jnp.clip(flat, 0, num_segments - 1)
-    ].add(1)
-
-
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def remove_small_objects(mask: jax.Array, min_size: int, connectivity: int | None = None):
     """Drop connected components smaller than min_size from a boolean mask
