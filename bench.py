@@ -124,7 +124,9 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
           f"{train_rows} rows, kNN matrix {clf.train_features.shape} "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
 
-    cfg = SegmentationConfig()
+    cfg = SegmentationConfig(**(
+        {"scan_cap": int(os.environ["HIPRFISH_2D_SCAN_CAP"])}
+        if os.environ.get("HIPRFISH_2D_SCAN_CAP") else {}))
 
     # AOT-compile the fused engine in a background thread while the host
     # builds the fixture (~80 s) — lower().compile() populates the same
@@ -226,7 +228,9 @@ def main():
     print(f"# classifier: {len(clf.codebook)} codes, "
           f"{clf.train_features.shape[0]} reference rows", file=sys.stderr)
 
-    cfg = SegmentationConfig()
+    cfg = SegmentationConfig(**(
+        {"scan_cap": int(os.environ["HIPRFISH_2D_SCAN_CAP"])}
+        if os.environ.get("HIPRFISH_2D_SCAN_CAP") else {}))
 
     # AOT-compile the engine in a background thread, overlapped with the
     # ~130 s host fixture build (see bench_ecoli_10bit for the mechanism).

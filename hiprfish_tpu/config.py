@@ -150,6 +150,11 @@ class SegmentationConfig:
     lp_cell_min_size: int = 60
     watershed_max_iters: int = 256  # static bound for flood propagation
     ccl_max_iters: int = 512        # static bound for label propagation
+    # Doubling cap for the id floods' segmented scans: passes per fixpoint
+    # round scale with log2(cap), and a cap below the largest component
+    # extent only adds rounds, never changes the result (labeling.py).
+    # ~2x the cell extent is the sweet spot (PROFILE_r03 cap sweep).
+    scan_cap: int = 64
 
     # biofilm epithelial-region detection (biofilm_analysis.py:404-418)
     bkg_min_size: int = 10000

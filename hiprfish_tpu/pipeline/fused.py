@@ -108,9 +108,9 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     # fused budget, measured); the watershed mask (fg & bkg) is unchanged,
     # sub-threshold fragments just lose their markers.
     # max_run=64: seeds are cell cores; see labeling._run_min_scan
-    markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters, 64)
+    markers0 = lab.label(seed_mask, 2, cfg.ccl_max_iters, cfg.scan_cap)
     markers_seq, _ = segstats.rank_labels(markers0, 2, cfg.ccl_max_iters,
-                                          64)
+                                          cfg.scan_cap)
     pre_segments = 2 * max_cells
     markers_seq = jnp.minimum(markers_seq, pre_segments - 1)
     st = segstats.label_stats(markers_seq, None, pre_segments, width=256)

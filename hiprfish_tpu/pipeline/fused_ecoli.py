@@ -78,8 +78,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # fixpoint iterations, never correctness.
     pre_segments = 2 * max_cells
     comp0, _ = segstats.rank_labels(
-        lab.label(interior, 2, cfg.ccl_max_iters, 64), 2,
-        cfg.ccl_max_iters, 64)
+        lab.label(interior, 2, cfg.ccl_max_iters, cfg.scan_cap), 2,
+        cfg.ccl_max_iters, cfg.scan_cap)
     comp0 = jnp.minimum(comp0, pre_segments - 1)
 
     # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
@@ -118,8 +118,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     k_pix = segstats.label_lookup(comp0, ktbl, width=256)
     seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp0 > 0)
     markers, _ = segstats.rank_labels(
-        lab.label(seed_mask, 2, cfg.ccl_max_iters, 64), 2,
-        cfg.ccl_max_iters, 64)
+        lab.label(seed_mask, 2, cfg.ccl_max_iters, cfg.scan_cap), 2,
+        cfg.ccl_max_iters, cfg.scan_cap)
     markers = jnp.minimum(markers, pre_segments - 1)
 
     seg_ws = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)

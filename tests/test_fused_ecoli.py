@@ -38,6 +38,21 @@ def test_fused_ecoli_matches_host_engine():
                                np.asarray(res_h.registered), rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_scan_cap_invariance_2d_engine():
+    """cfg.scan_cap only changes the id floods' pass/round split, never the
+    segmentation (fixpoint exactness) — pinned on the fused 10-bit engine."""
+    fov = synthetic.make_fov(TEN_BIT, CODES, shape=(192, 192), seed=1,
+                             cell_axes=(9.0, 14.0))
+    stack = tuple(jnp.asarray(a) for a in fov["stack"])
+    seg64, n64, _, _ = fused_ecoli.segment_ecoli_device(
+        stack, SegmentationConfig(), 256)
+    seg16, n16, _, _ = fused_ecoli.segment_ecoli_device(
+        stack, SegmentationConfig(scan_cap=16), 256)
+    assert int(n64) == int(n16)
+    np.testing.assert_array_equal(np.asarray(seg64), np.asarray(seg16))
+
+
 def test_classify_capped_matches_full():
     """classify_capped (static row cap + lax.cond fallback) must agree with
     the uncapped classify_device in both regimes: n_cells under the cap

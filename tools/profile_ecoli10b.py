@@ -50,7 +50,9 @@ def main():
     from hiprfish_tpu.utils import synthetic
 
     layout = TEN_BIT
-    cfg = SegmentationConfig()
+    cfg = SegmentationConfig(**(
+        {"scan_cap": int(os.environ["HIPRFISH_2D_SCAN_CAP"])}
+        if os.environ.get("HIPRFISH_2D_SCAN_CAP") else {}))
     size, max_cells = args.size, 8192
     pre_segments = 2 * max_cells
     all_codes = list(range(1, 1024))

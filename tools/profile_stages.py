@@ -71,7 +71,9 @@ def main():
     stack = tuple(jax.device_put(np.asarray(a, np.float32))
                   for a in fov["stack"])
     jax.block_until_ready(stack)
-    cfg = SegmentationConfig()
+    cfg = SegmentationConfig(**(
+        {"scan_cap": int(os.environ["HIPRFISH_2D_SCAN_CAP"])}
+        if os.environ.get("HIPRFISH_2D_SCAN_CAP") else {}))
     print(f"# fixture {size}x{size} on {jax.devices()[0].device_kind}",
           file=sys.stderr)
 
