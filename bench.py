@@ -328,9 +328,18 @@ def _run_config_subprocess(config: str, timeout_s: int = 1500):
         # utils.platform.maybe_register_pinned_axon_session)
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["HIPRFISH_AXON_MANUAL_SESSION"] = sid
-    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       capture_output=True, text=True, env=env,
-                       timeout=timeout_s)
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        # one stuck config must not take down the whole bench: record the
+        # timeout and keep the other configs' numbers
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(tail[-2000:])
+        return {"error": f"{config} timed out after {timeout_s}s"}
     sys.stderr.write(p.stderr)
     for line in reversed(p.stdout.strip().splitlines()):
         if line.startswith("{"):
