@@ -121,31 +121,71 @@ class SubBlockEntry:
 
 
 class CziFile:
-    """Random-access ZISRAW container."""
+    """Random-access ZISRAW container.
+
+    Malformed input (truncated files, corrupt headers/directories,
+    implausible sizes) always raises ``ValueError`` — never a raw
+    ``struct.error``/decode error, an unbounded allocation, or a hang.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self._f = open(path, "rb")
-        sid, _, _ = self._read_segment_header(0)
-        if sid != "ZISRAWFILE":
-            raise ValueError(f"{path}: not a CZI file (got segment {sid!r})")
-        payload = self._f.read(512)
-        # FileHeaderSegment: Major, Minor, Reserved(8), PrimaryFileGuid(16),
-        # FileGuid(16), FilePart, DirectoryPosition(8), MetadataPosition(8),
-        # UpdatePending, AttachmentDirectoryPosition(8)
-        (self.major, self.minor) = struct.unpack_from("<ii", payload, 0)
-        (self.directory_position,) = struct.unpack_from("<q", payload, 48)
-        (self.metadata_position,) = struct.unpack_from("<q", payload, 56)
-        self.entries: List[SubBlockEntry] = []
-        self._parse_directory()
+        try:
+            import os as _os
+
+            self._file_size = _os.fstat(self._f.fileno()).st_size
+            sid, _, _ = self._read_segment_header(0)
+            if sid != "ZISRAWFILE":
+                raise ValueError(
+                    f"{path}: not a CZI file (got segment {sid!r})")
+            payload = self._f.read(512)
+            # FileHeaderSegment: Major, Minor, Reserved(8),
+            # PrimaryFileGuid(16), FileGuid(16), FilePart,
+            # DirectoryPosition(8), MetadataPosition(8), UpdatePending,
+            # AttachmentDirectoryPosition(8)
+            if len(payload) < 64:
+                raise ValueError(f"{path}: truncated CZI file header")
+            (self.major, self.minor) = struct.unpack_from("<ii", payload, 0)
+            (self.directory_position,) = struct.unpack_from("<q", payload, 48)
+            (self.metadata_position,) = struct.unpack_from("<q", payload, 56)
+            if not 0 < self.directory_position < self._file_size:
+                raise ValueError(
+                    f"{path}: directory position {self.directory_position} "
+                    "outside the file")
+            self.entries: List[SubBlockEntry] = []
+            try:
+                self._parse_directory()
+            except (struct.error, UnicodeDecodeError, IndexError) as e:
+                raise ValueError(f"{path}: corrupt CZI directory ({e})")
+            # Plausibility: the assembled plane is bounded by the bytes
+            # actually present in the file (allowing generous compression),
+            # so one corrupt dimension size can't demand a 500 GiB buffer.
+            plane_cells = self.size_y * self.size_x * self.size_c
+            if plane_cells * 4 > max(256 * self._file_size, 1 << 31):
+                raise ValueError(
+                    f"{path}: directory declares a "
+                    f"{self.size_y}x{self.size_x}x{self.size_c} plane — "
+                    f"implausible for a {self._file_size}-byte file")
+        except BaseException:
+            self._f.close()
+            raise
 
     # -- low-level ----------------------------------------------------------
 
     def _read_segment_header(self, pos: int):
         self._f.seek(pos)
         raw = self._f.read(SEGMENT_HEADER.size)
+        if len(raw) < SEGMENT_HEADER.size:
+            raise ValueError(f"{self.path}: truncated segment header at "
+                             f"offset {pos}")
         sid, allocated, used = SEGMENT_HEADER.unpack(raw)
-        return sid.rstrip(b"\x00").decode("ascii"), allocated, used
+        try:
+            name = sid.rstrip(b"\x00").decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError(
+                f"{self.path}: corrupt segment id at offset {pos}")
+        return name, allocated, used
 
     @staticmethod
     def _parse_directory_entry(buf: bytes, off: int):
@@ -156,11 +196,18 @@ class CziFile:
         (file_position,) = struct.unpack_from("<q", buf, off + 6)
         (compression,) = struct.unpack_from("<i", buf, off + 18)
         (dim_count,) = struct.unpack_from("<i", buf, off + 28)
+        if not 0 <= dim_count <= 24:  # ZISRAW defines ~12 dimension ids
+            raise ValueError(f"implausible dimension count {dim_count}")
+        if file_position < 0:
+            raise ValueError(f"negative subblock position {file_position}")
         dims: Dict[str, DimensionEntry] = {}
         p = off + 32
         for _ in range(dim_count):
             dname = buf[p:p + 4].rstrip(b"\x00").decode("ascii")
             start, size, _startf, stored = struct.unpack_from("<iifi", buf, p + 4)
+            if size <= 0 or (stored and stored < 0):
+                raise ValueError(
+                    f"non-positive extent {size}/{stored} for dim {dname!r}")
             dims[dname] = DimensionEntry(dname, start, size, stored or size)
             p += 20
         entry = SubBlockEntry(file_position, pixel_type, compression, dims)
@@ -171,7 +218,13 @@ class CziFile:
         if sid != "ZISRAWDIRECTORY":
             raise ValueError(f"bad directory segment {sid!r}")
         buf = self._f.read(used)
+        if len(buf) < 128:
+            raise ValueError(f"{self.path}: truncated CZI directory")
         (count,) = struct.unpack_from("<i", buf, 0)
+        if not 0 <= count <= (len(buf) - 128) // 32:
+            raise ValueError(
+                f"{self.path}: directory claims {count} entries in "
+                f"{len(buf)} bytes")
         p = 128  # entry table starts after the 128-byte directory header
         for _ in range(count):
             entry, consumed = self._parse_directory_entry(buf, p)
@@ -182,14 +235,19 @@ class CziFile:
 
     @property
     def metadata_xml(self) -> str:
-        if self.metadata_position <= 0:
+        if not 0 < self.metadata_position < self._file_size:
             return ""
-        sid, _, used = self._read_segment_header(self.metadata_position)
+        try:
+            sid, _, used = self._read_segment_header(self.metadata_position)
+        except ValueError:
+            return ""
         if sid != "ZISRAWMETADATA":
             return ""
         buf = self._f.read(used)
+        if len(buf) < 260:
+            return ""
         (xml_size,) = struct.unpack_from("<i", buf, 0)
-        return buf[256:256 + xml_size].decode("utf-8", "replace")
+        return buf[256:256 + max(xml_size, 0)].decode("utf-8", "replace")
 
     def _dim_extent(self, d: str) -> int:
         hi = 0
@@ -230,26 +288,61 @@ class CziFile:
         if sid != "ZISRAWSUBBLOCK":
             raise ValueError(f"bad subblock segment {sid!r}")
         fixed = self._f.read(16)
+        if len(fixed) < 16:
+            raise ValueError(f"{self.path}: truncated subblock header")
         meta_size, attach_size, data_size = struct.unpack("<iiq", fixed)
+        if meta_size < 0 or data_size < 0 \
+                or entry.file_position + data_size > self._file_size:
+            raise ValueError(
+                f"{self.path}: subblock at {entry.file_position} claims "
+                f"{data_size} data bytes / {meta_size} metadata bytes")
         # Directory entry copy follows; data starts at
         # max(256, 16 + entry_size) bytes into the segment payload.
         entry_buf = self._f.read(512)
-        _, entry_size = self._parse_directory_entry(entry_buf, 0)
+        try:
+            _, entry_size = self._parse_directory_entry(entry_buf, 0)
+        except (struct.error, UnicodeDecodeError) as e:
+            raise ValueError(f"{self.path}: corrupt subblock entry ({e})")
         data_offset = max(256, 16 + entry_size)
         self._f.seek(entry.file_position + SEGMENT_HEADER.size + data_offset
                      + meta_size)
         raw = self._f.read(data_size)
+        if len(raw) < data_size:
+            raise ValueError(f"{self.path}: truncated subblock data")
+        # Decompressed payload can never exceed the declared plane extent;
+        # bound the expansion so corrupt zstd frames can't demand gigabytes.
+        plane_bytes = (entry.dim_size("Y") * entry.dim_size("X")
+                       * entry.dim_size("C", 1)
+                       * max(PIXEL_SAMPLES.get(entry.pixel_type, 1), 1)
+                       * 8)
         if entry.compression in (COMP_ZSTD0, COMP_ZSTD1):
             import zstandard
 
             if entry.compression == COMP_ZSTD1:
                 # zstd1 prepends a small header: size byte + fields
-                hdr = raw[0]
+                if not raw:
+                    raise ValueError(
+                        f"{self.path}: empty zstd1 payload")
+                raw = raw[1 + raw[0]:]
+            try:
+                # When the frame header declares its content size,
+                # python-zstandard allocates that much regardless of
+                # max_output_size — check the declaration first so a
+                # corrupt/hostile frame can't demand an arbitrary buffer.
+                declared = zstandard.frame_content_size(raw)
+                if declared > plane_bytes:
+                    raise ValueError(
+                        f"{self.path}: zstd subblock declares {declared} "
+                        f"bytes for a {plane_bytes}-byte plane")
                 raw = zstandard.ZstdDecompressor().decompress(
-                    raw[1 + hdr:], max_output_size=1 << 31)
-            else:
-                raw = zstandard.ZstdDecompressor().decompress(
-                    raw, max_output_size=1 << 31)
+                    raw, max_output_size=plane_bytes)
+            except zstandard.ZstdError as e:
+                raise ValueError(
+                    f"{self.path}: corrupt zstd subblock ({e})")
+            if len(raw) > plane_bytes:
+                raise ValueError(
+                    f"{self.path}: zstd subblock inflates past the "
+                    "declared plane")
         elif entry.compression != COMP_UNCOMPRESSED:
             _autoload_codecs()
             decoder = _DECOMPRESSORS.get(entry.compression)
@@ -275,7 +368,12 @@ class CziFile:
         sy = entry.dim_size("Y")
         sx = entry.dim_size("X")
         sc = entry.dim_size("C", 1)
-        arr = np.frombuffer(raw, dtype)[: sy * sx * sc * samples]
+        need = sy * sx * sc * samples * dtype.itemsize
+        if len(raw) < need:
+            raise ValueError(
+                f"{self.path}: subblock holds {len(raw)} bytes for a "
+                f"{sy}x{sx}x{sc} plane needing {need}")
+        arr = np.frombuffer(raw[:need], dtype)
         if samples > 1:
             return arr.reshape(sy, sx, samples)
         if sc > 1:
@@ -309,6 +407,11 @@ class CziFile:
                 block /= float(np.iinfo(PIXEL_DTYPES[e.pixel_type]).max)
             y0, x0 = e.dim_start("Y"), e.dim_start("X")
             c0 = e.dim_start("C")
+            if y0 < 0 or x0 < 0 or c0 < 0:
+                raise ValueError(
+                    f"{self.path}: negative subblock origin "
+                    f"({y0}, {x0}, {c0}) — normalize stage coordinates "
+                    "before writing")
             sy, sx = block.shape[0], block.shape[1]
             if block.ndim == 2:
                 out[y0:y0 + sy, x0:x0 + sx, c0] = block

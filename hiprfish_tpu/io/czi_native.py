@@ -104,17 +104,29 @@ def decode_jpeg(raw: bytes, expect_hw: tuple | None = None):
 
 
 def _subblock_data_pos(czi_file, entry) -> tuple:
-    """Absolute file offset + stored size of a subblock's pixel data."""
+    """Absolute file offset + stored size of a subblock's pixel data.
+
+    Returns ``None`` when the subblock headers are malformed — the caller
+    then falls back to the pure-Python reader, which raises a clean
+    ``ValueError`` (the C++ side must never see an unvalidated descriptor)."""
     f = czi_file._f
     f.seek(entry.file_position)
     raw = f.read(32)
-    _, _, used = struct.unpack("<16sqq", raw)
     fixed = f.read(16)
+    if len(raw) < 32 or len(fixed) < 16:
+        return None
+    _, _, used = struct.unpack("<16sqq", raw)
     meta_size, _attach, data_size = struct.unpack("<iiq", fixed)
     entry_buf = f.read(512)
-    _, entry_size = czi_file._parse_directory_entry(entry_buf, 0)
+    try:
+        _, entry_size = czi_file._parse_directory_entry(entry_buf, 0)
+    except (ValueError, struct.error, UnicodeDecodeError):
+        return None
     data_offset = max(256, 16 + entry_size)
     pos = entry.file_position + 32 + data_offset + meta_size
+    if meta_size < 0 or data_size < 0 \
+            or pos + data_size > czi_file._file_size:
+        return None
     return pos, data_size
 
 
@@ -139,15 +151,24 @@ def load_plane_native(czi_file, z: int = 0, t: int = 0, series: int = 0,
         entries.append(e)
     if not entries:
         raise IndexError(f"no subblocks for z={z} t={t} series={series}")
+    H, W, C = czi_file.size_y, czi_file.size_x, czi_file.size_c
     descs = (_SubblockDesc * len(entries))()
     for i, e in enumerate(entries):
-        pos, size = _subblock_data_pos(czi_file, e)
-        descs[i] = _SubblockDesc(
-            pos, size, e.dim_start("Y"), e.dim_start("X"), e.dim_start("C"),
-            e.dim_size("Y"), e.dim_size("X"), e.dim_size("C", 1),
-            e.pixel_type, e.compression)
-    out = np.zeros((czi_file.size_y, czi_file.size_x, czi_file.size_c),
-                   np.float32)
+        ps = _subblock_data_pos(czi_file, e)
+        if ps is None:
+            return None  # malformed headers: pure-Python path reports it
+        pos, size = ps
+        y0, x0, c0 = e.dim_start("Y"), e.dim_start("X"), e.dim_start("C")
+        sy, sx = e.dim_size("Y"), e.dim_size("X")
+        sc = e.dim_size("C", 1)
+        # The C++ writer trusts the placement; reject anything that would
+        # land outside the (H, W, C) output plane.
+        if min(y0, x0, c0) < 0 or y0 + sy > H or x0 + sx > W \
+                or c0 + sc > C:
+            return None
+        descs[i] = _SubblockDesc(pos, size, y0, x0, c0, sy, sx, sc,
+                                 e.pixel_type, e.compression)
+    out = np.zeros((H, W, C), np.float32)
     failures = lib.czi_assemble_plane(
         czi_file.path.encode(), descs, len(entries),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

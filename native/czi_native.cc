@@ -86,6 +86,14 @@ struct SubblockDesc {
 
 static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
                          int64_t H, int64_t W, int64_t C) {
+  // Defense in depth: the Python glue validates descriptors against the
+  // file and plane, but a write outside (H, W, C) or an unbounded
+  // allocation must be impossible even with a hostile descriptor.
+  if (d.data_size < 0 || d.data_size > (int64_t{1} << 33)) return false;
+  if (d.sy <= 0 || d.sx <= 0 || d.sc <= 0) return false;
+  if (d.y0 < 0 || d.x0 < 0 || d.c0 < 0 || d.y0 + d.sy > H ||
+      d.x0 + d.sx > W || d.c0 + d.sc > C)
+    return false;
   std::vector<uint8_t> raw(d.data_size);
 #if defined(_WIN32)
   return false;
@@ -100,10 +108,15 @@ static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
   if (d.compression == 5 || d.compression == 6) {
     size_t skip = 0;
     if (d.compression == 6 && data_len > 0) skip = 1 + data[0];
+    if (skip >= data_len) return false;
     unsigned long long want =
         ZSTD_getFrameContentSize(data + skip, data_len - skip);
-    if (want == ZSTD_CONTENTSIZE_ERROR || want == ZSTD_CONTENTSIZE_UNKNOWN)
-      want = (unsigned long long)d.sy * d.sx * d.sc * 8;
+    // A valid frame never exceeds the declared plane extent (widest pixel
+    // type is 8 bytes); a corrupt frame header must not drive the resize.
+    const unsigned long long cap = (unsigned long long)d.sy * d.sx * d.sc * 8;
+    if (want == ZSTD_CONTENTSIZE_ERROR || want == ZSTD_CONTENTSIZE_UNKNOWN ||
+        want > cap)
+      want = cap;
     scratch.resize(want);
     size_t got = ZSTD_decompress(scratch.data(), scratch.size(),
                                  data + skip, data_len - skip);

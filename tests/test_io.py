@@ -239,3 +239,108 @@ def test_czi_jpeg_native_assembler(tmp_path, rng):
     assert got is not None
     got = np.asarray(got).reshape(32, 40) * 255.0
     assert np.abs(got[8:24, 10:30] - 180).mean() < 3
+
+
+# ---------------------------------------------------------------------------
+# Robustness: malformed input must raise ValueError (or a clean subclass of
+# the documented errors) — never a raw struct.error, an unbounded
+# allocation, an out-of-bounds native write, or a hang. The reference
+# inherits this hardening from bioformats; the from-scratch parser has to
+# prove it (biofilm_analysis.py:55-132 reads arbitrary user CZIs).
+# ---------------------------------------------------------------------------
+
+_CLEAN_ERRORS = (ValueError, IndexError, NotImplementedError)
+
+
+def _make_fixture_czi(tmp_path, rng, compression):
+    plane = rng.rand(24, 31, 3).astype(np.float32)
+    path = str(tmp_path / f"fix_{compression}.czi")
+    czi.write_czi(path, plane, compression=compression)
+    return path, plane
+
+
+def _read_all(path):
+    f = czi.CziFile(path)
+    try:
+        out = f.load_plane()
+        f.metadata_xml
+        return out
+    finally:
+        f.close()
+
+
+@pytest.mark.parametrize("compression",
+                         [czi.COMP_UNCOMPRESSED, czi.COMP_ZSTD0])
+def test_czi_truncation_sweep(tmp_path, rng, compression):
+    """Truncating the file at any point either still reads (truncation past
+    the live data) or raises a clean error."""
+    path, plane = _make_fixture_czi(tmp_path, rng, compression)
+    blob = open(path, "rb").read()
+    tpath = str(tmp_path / "trunc.czi")
+    # every 173 bytes + the structural boundaries
+    cuts = sorted(set(range(0, len(blob), 173))
+                  | {0, 1, 31, 32, 63, 64, 511, 512, len(blob) - 1})
+    for cut in cuts:
+        with open(tpath, "wb") as fh:
+            fh.write(blob[:cut])
+        try:
+            out = _read_all(tpath)
+        except _CLEAN_ERRORS:
+            continue
+        assert out.shape == plane.shape
+
+
+@pytest.mark.parametrize("compression",
+                         [czi.COMP_UNCOMPRESSED, czi.COMP_ZSTD0])
+def test_czi_corruption_fuzz(tmp_path, rng, compression):
+    """Seeded random byte flips: reads either succeed (possibly with wrong
+    pixels — the flip may land in pixel data) or raise a clean error, with
+    the native threaded path active so its descriptor validation is
+    exercised too."""
+    path, plane = _make_fixture_czi(tmp_path, rng, compression)
+    blob = bytearray(open(path, "rb").read())
+    fuzz_rng = np.random.RandomState(1234)
+    fpath = str(tmp_path / "fuzz.czi")
+    for _ in range(250):
+        corrupt = bytearray(blob)
+        for _ in range(fuzz_rng.randint(1, 5)):
+            corrupt[fuzz_rng.randint(len(corrupt))] = fuzz_rng.randint(256)
+        with open(fpath, "wb") as fh:
+            fh.write(bytes(corrupt))
+        try:
+            out = _read_all(fpath)
+        except _CLEAN_ERRORS:
+            continue
+        # A flip can land in pixel bytes (wrong values) or in a subblock
+        # start coordinate (larger mosaic) and still be a structurally
+        # valid CZI; success just has to stay sane and bounded.
+        assert out.ndim == 3 and min(out.shape) >= 1
+        assert out.nbytes < (256 << 20)
+
+
+def test_czi_zstd_bomb_rejected(tmp_path, rng):
+    """A zstd frame that decompresses to far more than the declared plane
+    must be rejected, not allocated: the 24x31x3 float32 plane here carries
+    a 64 MiB payload."""
+    import zstandard
+
+    plane = rng.rand(24, 31, 3).astype(np.float32)
+    path = str(tmp_path / "bomb.czi")
+    bomb = zstandard.ZstdCompressor().compress(b"\x00" * (64 << 20))
+    # zstd1 so write_czi routes through the compressor (zstd0 compresses
+    # natively); the leading \x00 is the zstd1 size-byte header.
+    czi.write_czi(path, plane, compression=czi.COMP_ZSTD1,
+                  compressor=lambda raw: b"\x00" + bomb)
+    with pytest.raises(ValueError):
+        _read_all(path)
+
+
+def test_czi_truncated_subblock_data(tmp_path, rng):
+    """Cutting inside the pixel payload of the last subblock raises a clean
+    truncation error instead of reshaping garbage."""
+    path, plane = _make_fixture_czi(tmp_path, rng, czi.COMP_UNCOMPRESSED)
+    blob = open(path, "rb").read()
+    with open(path, "wb") as fh:
+        fh.write(blob[:len(blob) - 200])
+    with pytest.raises(_CLEAN_ERRORS):
+        _read_all(path)
