@@ -12,7 +12,8 @@ Prints ONE JSON line: {"metric", "value" (megapixels/s/chip), "unit",
 configurations:
   * ecoli_10bit  (BENCH_10B=0 to skip): 5-laser 95-channel 2000^2 FOV through
     the fused erosion-seeded engine + full 1023-class kNN classifier
-    (reference matrix subset via knn_store_per_class).
+    (reference matrix thinned via prototype averaging,
+    knn_prototypes_per_class).
   * volume_3d    (BENCH_3D=0 to skip): the reference's 2020x2020x170 8-tile
     stitched volume end-to-end (tools/bench3d.py).
 """
@@ -64,8 +65,9 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
                       spc: int | None = None, max_cells: int = 8192):
     """The 10-bit configuration: 5-laser 95-channel FOV through the fused
     erosion-seeded engine + a full 1023-class classifier, with the kNN
-    reference matrix thinned via knn_store_per_class (the mechanism that
-    keeps a spc=2000 (~2M row) training run servable on chip)."""
+    reference matrix thinned via prototype averaging
+    (knn_prototypes_per_class, the default — keeps a spc=2000 (~2M row)
+    training run servable on chip and averages away per-row noise)."""
     import jax
     import jax.numpy as jnp
     from hiprfish_tpu.config import TEN_BIT, ClassifierConfig, \

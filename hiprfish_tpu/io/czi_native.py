@@ -145,8 +145,11 @@ def load_plane_native(czi_file, z: int = 0, t: int = 0, series: int = 0,
             continue
         if e.dim_start("S") != series and "S" in e.dimensions:
             continue
+        # pixel_type 3 (Bgr24, 3 samples/pixel) has no native decode case —
+        # routing it here would pay a full failed assembly pass per plane
+        # before the Python fallback.
         if e.compression not in (0, 1, 5, 6) \
-                or e.pixel_type not in (0, 1, 2, 3, 12):
+                or e.pixel_type not in (0, 1, 2, 12):
             return None
         entries.append(e)
     if not entries:

@@ -243,12 +243,19 @@ def train_classifier(
     check_spectra: np.ndarray | None = None,   # incl. negatives (defaults to spectra)
     check_bits_full: np.ndarray | None = None,
     knn_store_per_class: int | None = None,
-    knn_prototypes_per_class: int | None = 8,
+    knn_prototypes_per_class: int | None | str = "auto",
 ) -> SpectralClassifier:
     """Fit the classifier: check heads on (optionally scaled) block slices,
     and the kNN reference matrix = [spectra, check bits] under the gated
     metric — the training recipe of train_reference.py:2034-2044 with the
-    SVCs replaced by TPU-native heads."""
+    SVCs replaced by TPU-native heads.
+
+    The stored kNN matrix is thinned one of two ways: prototype averaging
+    (``knn_prototypes_per_class``, the default — 8 noise-averaged
+    prototypes per class) or raw-row subsetting (``knn_store_per_class``,
+    the reference-faithful mechanism). Passing ``knn_store_per_class``
+    alone switches to raw rows; an explicit integer
+    ``knn_prototypes_per_class`` always wins."""
     spectra = np.asarray(spectra, np.float32)
     check_bits = np.asarray(check_bits, np.float32)
     if check_spectra is None:
@@ -310,6 +317,11 @@ def train_classifier(
     n_check_cols = check_slice[1] - check_slice[0]
     feats = np.concatenate([spectra, check_bits[:, :n_check_cols]],
                            axis=1).astype(np.float32)
+    if knn_prototypes_per_class == "auto":
+        # Default thinning is prototype averaging — but an explicit
+        # knn_store_per_class request must not be silently overridden.
+        knn_prototypes_per_class = \
+            None if knn_store_per_class is not None else 8
     if knn_prototypes_per_class is not None:
         # Prototype averaging: store p noise-averaged prototypes per class
         # instead of raw simulated rows. Per-row simulation noise is what

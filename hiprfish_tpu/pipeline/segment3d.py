@@ -246,7 +246,12 @@ def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
 
     vol = jnp.asarray(volume, jnp.float32)
     if (jax.default_backend() not in ("cpu", "gpu")
+            and bf16 is not False
             and not _os.environ.get("HIPRFISH_NO_PALLAS_LP3D")):
+        # The fused Pallas kernel accumulates the stencil in bf16 (its
+        # output/ratio stay f32); bf16=False therefore routes to the XLA
+        # chunk sweep below, which also honors chunk_xy (the kernel has
+        # its own VMEM blocking).
         from hiprfish_tpu.ops import lp3d_pallas
 
         return lp3d_pallas.lp_cv_enhance_3d_fused(
@@ -690,17 +695,23 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     f32 = jnp.float32
     scalar_f32 = jax.ShapeDtypeStruct((), f32)
     use_seeded = os.environ.get("HIPRFISH_3D_GLOBAL_SEEDS", "1") != "0"
+    tile_done = threading.Event()
 
     def warm_seeds():
         # the global-seeds program runs FIRST at runtime (right after
         # thresholds) — give it its own thread so it doesn't queue behind
         # the tile program (server-side compiles overlap, measured 1.4x)
         _global_seeds.lower(
-            jax.ShapeDtypeStruct((x, y, z), jnp.bfloat16),
+            jax.ShapeDtypeStruct((x, y, z), f32),
             scalar_f32).compile()
 
     def warm_tile():
-        enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bfloat16)
+        # f32 to match the runtime call exactly: lp_cv_enhance_3d_chunked
+        # returns f32 on every backend (the Pallas kernel accumulates in
+        # bf16 internally but its out_shape is f32), and segment_3d_tiled
+        # pads without casting. A dtype drift here silently recompiles the
+        # tile program on the timed critical path.
+        enh = jax.ShapeDtypeStruct((padded_x, y, z), f32)
         bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
         start = jax.ShapeDtypeStruct((), jnp.int32)
         if use_seeded:
@@ -712,6 +723,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         else:
             _segment_tile_at.lower(enh, bkg, (scalar_f32, scalar_f32),
                                    start, statics, (tile_x, margin)).compile()
+        tile_done.set()
         # The remap program runs right after the tile sweep; compile it
         # next (sequentially, after the tile program lands) so the merge
         # stage doesn't pay its compile on the critical path.
@@ -720,14 +732,21 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         t_s = jax.ShapeDtypeStruct((), jnp.int32)
         _remap_tile.lower(lab_s, tbl_s, t_s, tile_cap,
                           min(tile_cap, 2048)).compile()
+        if use_seeded:
+            # Also warm the unseeded tile program: segment_3d_tiled falls
+            # back to it when the global-seeds flood hits
+            # RESOURCE_EXHAUSTED, and that is exactly the run that can't
+            # afford a cold compile on the critical path.
+            _segment_tile_at.lower(enh, bkg, (scalar_f32, scalar_f32),
+                                   start, statics, (tile_x, margin)).compile()
 
     def warm_measure():
         # Stagger: the tile program is on the critical path ~20 s from
         # now, the measure kernel only after the whole segment stage
         # (~60 s) — don't contend for GIL-bound tracing or server
-        # compile slots while the tile program compiles.
-        import time as _t
-        _t.sleep(15)
+        # compile slots while the tile program compiles. Event-based so
+        # join() never stalls past the compiles actually finishing.
+        tile_done.wait(timeout=15)
         seg_zxy = jax.ShapeDtypeStruct((z, x, y), jnp.int32)
         if measure_runner is not None:
             # fused single-program measurement (make_fused_measure)
@@ -816,8 +835,9 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         _enhance, oom.halving_ladder(chunk_xy, 32), label="chunk_xy")
     del vol_norm
     _log("enhanced")
-    # keep bf16 on TPU: the full padded volume at f32 is ~4 GB; tiles cast
-    # their 260 MB slab up to f32 inside the per-tile program instead
+    # enhanced is f32 on every backend (the Pallas kernel accumulates bf16
+    # internally but emits f32); the padded full volume is ~4 GB, measured
+    # to fit alongside the tile sweep on a 16 GB chip
     thr_fg = _cluster_threshold(enhanced.astype(jnp.float32), 2,
                                 cfg.kmeans_iters)
     thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,

@@ -29,18 +29,20 @@ def test_3d_tile_and_seed_programs_stay_small():
     padded_x = n_tiles * tile_x + 2 * margin
     statics = (64, 256, 512, tile_cap, 0)
     f32s = jax.ShapeDtypeStruct((), jnp.float32)
-    enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bfloat16)
+    # f32 to match what warmup_pipeline lowers and the runtime actually
+    # passes (lp_cv_enhance_3d_chunked emits f32 on every backend)
+    enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.float32)
     bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
     seeds = jax.ShapeDtypeStruct((padded_x, z, y), jnp.bool_)
     start = jax.ShapeDtypeStruct((), jnp.int32)
 
     tile = s3._segment_tile_at_seeded.lower(
         enh, bkg, seeds, f32s, start, statics, (tile_x, margin))
-    assert _ops(tile) < 1800, _ops(tile)          # 1335 @ 2026-08-18
+    assert _ops(tile) < 1800, _ops(tile)          # 1334 @ 2026-08-18 (f32)
 
     gs = s3._global_seeds.lower(
-        jax.ShapeDtypeStruct((x, y, z), jnp.bfloat16), f32s)
-    assert _ops(gs) < 1100, _ops(gs)              # 826 @ 2026-08-18
+        jax.ShapeDtypeStruct((x, y, z), jnp.float32), f32s)
+    assert _ops(gs) < 1100, _ops(gs)              # 825 @ 2026-08-18 (f32)
 
 
 @pytest.mark.slow

@@ -97,9 +97,11 @@ def test_stitch_aot_spec_matches_real_call():
 
 def test_warmup_pipeline_matches_direct_segmentation():
     """warmup_pipeline's AOT specs must exactly match the real call
-    signatures of _segment_tile_at/_remap_tile (a mismatch would silently
-    recompile on the critical path), and the warmed sweep must produce
-    the same labels as an unwarmed one."""
+    signatures of the tile/seeds/remap programs (a mismatch — e.g. a
+    dtype drift between the warmed spec and what
+    lp_cv_enhance_3d_chunked actually returns — silently recompiles on
+    the critical path), and the warmed sweep must produce the same
+    labels as an unwarmed one."""
     from hiprfish_tpu.config import SegmentationConfig
     from hiprfish_tpu.utils import synthetic3d as s3
 
@@ -115,7 +117,22 @@ def test_warmup_pipeline_matches_direct_segmentation():
                                      tile_x=40, margin=20, tile_cap=64,
                                      z_chunk=4, n_channels=63)
     join()
-    seg_w, n_w, _ = segment3d.segment_3d_tiled(vol, cfg, **kw)
+
+    handler = _CompileLog()
+    logger = logging.getLogger("jax._src.dispatch")
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.DEBUG)
+    try:
+        seg_w, n_w, _ = segment3d.segment_3d_tiled(vol, cfg, **kw)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    fresh = [m for m in handler.messages
+             if "XLA compilation of jit(" in m
+             and any(p in m for p in ("_segment_tile_at", "_global_seeds",
+                                      "_remap_tile"))]
+    assert not fresh, f"warmed programs recompiled: {fresh}"
 
     # the jit caches are warm either way now; this second sweep checks
     # determinism of the warmed path
