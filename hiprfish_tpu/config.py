@@ -153,8 +153,10 @@ class SegmentationConfig:
     # Doubling cap for the id floods' segmented scans: passes per fixpoint
     # round scale with log2(cap), and a cap below the largest component
     # extent only adds rounds, never changes the result (labeling.py).
-    # ~2x the cell extent is the sweet spot (PROFILE_r03 cap sweep).
-    scan_cap: int = 64
+    # ~the cell extent is the sweet spot: the PROFILE_r03 TPU sweep on the
+    # 2020x2020x170 flagship measured segment 43.0 s @ cap 32 vs 34.7 s
+    # @ cap 16, both bit-exact (9408/9408 cells, accuracy 1.0).
+    scan_cap: int = 16
 
     # biofilm epithelial-region detection (biofilm_analysis.py:404-418)
     bkg_min_size: int = 10000

@@ -124,17 +124,28 @@ def _run_or_scan(reach: jax.Array, mask: jax.Array, axis: int,
 
 
 def _block_pool(x: jax.Array, c: int, op: str) -> jax.Array:
-    """Factor-c block reduce per axis (pad with False — conservative)."""
+    """Factor-c block reduce per axis (pad with False — conservative).
+
+    Reduced axis-by-axis with c strided slices per axis, NOT a single
+    reshape to (s0/c, c, s1/c, c, ...): on TPU that 2*ndim-rank bool
+    intermediate puts a length-c pair in the two minor positions and the
+    (8,128) tile padding inflates it ~32x — a 0.7 GB volume mask became a
+    22.8 GB allocation and the whole-volume seeds program OOM'd at
+    compile (measured 2026-08-18). Strided slices keep the array rank-ndim
+    with large minor dims throughout."""
     pads = [(0, (-s) % c) for s in x.shape]
     if any(p[1] for p in pads):
         x = jnp.pad(x, pads, constant_values=False)
-    shape = []
-    axes = []
-    for i, s in enumerate(x.shape):
-        shape += [s // c, c]
-        axes.append(2 * i + 1)
-    r = x.reshape(shape)
-    return r.all(tuple(axes)) if op == "all" else r.any(tuple(axes))
+    comb = jnp.logical_and if op == "all" else jnp.logical_or
+    for ax in range(x.ndim):
+        sl = [slice(None)] * x.ndim
+        r = None
+        for k in range(c):
+            sl[ax] = slice(k, None, c)
+            piece = x[tuple(sl)]
+            r = piece if r is None else comb(r, piece)
+        x = r
+    return x
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -157,10 +168,14 @@ def flood_reach(seeds: jax.Array, mask: jax.Array, connectivity: int = 1,
         solid = _block_pool(mask, c, "all")
         cseeds = _block_pool(seeds & mask, c, "any") & solid
         creach = _flood_reach_flat(cseeds, solid, 1, max_iters, max_run)
-        up = jnp.repeat(creach, c, axis=0)
-        for ax in range(1, mask.ndim):
-            up = jnp.repeat(up, c, axis=ax)
-        up = up[tuple(slice(0, s) for s in mask.shape)]
+        # Upsample by axis-gather (take with i//c), not jnp.repeat: repeat
+        # lowers through a broadcast whose split (s/c, c) pair lands in the
+        # minor tile positions on the last axis — same ~32x bool padding
+        # blow-up as the reshape pool above.
+        up = creach
+        for ax, s in enumerate(mask.shape):
+            idx = jnp.arange(s, dtype=jnp.int32) // c
+            up = jnp.take(up, idx, axis=ax)
         seeds = seeds | (up & mask)
     return _flood_reach_flat(seeds, mask, connectivity, max_iters,
                              max_run)

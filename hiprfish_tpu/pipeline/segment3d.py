@@ -764,7 +764,27 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
     if n_channels is not None and jax.default_backend() not in ("cpu",
                                                                 "gpu"):
         targets.append(warm_measure)
-    threads = [threading.Thread(target=t, daemon=True) for t in targets]
+
+    def _quiet_oom(fn):
+        # A warm compile that overflows HBM must not spew a thread
+        # traceback: the runtime call pays the same failure inside ITS
+        # OOM handler and falls back (global seeds -> in-tile seeds,
+        # fused measure -> streamed); anything else re-raises.
+        def wrapped():
+            from hiprfish_tpu.utils import oom
+            try:
+                fn()
+            except Exception as e:
+                if not oom.is_oom_error(e):
+                    raise
+                import logging
+                logging.getLogger("hiprfish_tpu.segment3d").warning(
+                    "warmup compile OOM in %s (runtime will fall back)",
+                    fn.__name__)
+        return wrapped
+
+    threads = [threading.Thread(target=_quiet_oom(t), daemon=True)
+               for t in targets]
     for t in threads:
         t.start()
 
@@ -1063,33 +1083,46 @@ def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
     ``lax.fori_loop`` inside one program: one dispatch, loader and
     accumulation fused, one chunk of spectra materialized at a time.
 
-    Returns a jitted ``run(seg_zxy) -> (max_cells, C) mean spectra``
-    taking the (Z, X, Y)-transposed label volume; AOT-lower it for warmup
-    via ``run.lower(ShapeDtypeStruct((z, x, y), jnp.int32)).compile()``.
+    Unlike _accumulate_planes_banded, a band-window spill does NOT fall
+    back to the exact scatter in-program: the scatter branch materializes
+    two (planes*X*Y, C) buffers (~5.8 GB at the reference scale) that
+    lax.cond co-allocates with the banded path, and the whole program
+    OOM'd at compile (23.7 GB, measured 2026-08-18). The spill flag is
+    returned instead; on spill the caller redoes measurement through the
+    per-chunk streamed path, which keeps its in-program fallback.
+
+    Returns a jitted ``run(seg_zxy) -> ((max_cells, C) mean spectra,
+    spill: bool)`` taking the (Z, X, Y)-transposed label volume; AOT-lower
+    it for warmup via
+    ``run.lower(ShapeDtypeStruct((z, x, y), jnp.int32)).compile()``.
     """
+    from hiprfish_tpu.ops import segstats
+    from hiprfish_tpu.ops import segstats_pallas as sp
+
     x, y, z = shape
     nsteps, tail = divmod(z, z_chunk)
+    band_px = segstats._pick_band_px(x * y, 8192)
+
+    def step(seg_zxy, acc, spill, z0, zc):
+        chunk = jnp.asarray(loader_fn(z0, zc), jnp.float32)
+        lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0), (zc, x, y))
+        out, sp_i = sp.stats_cm_pallas(lab, chunk, acc.shape[0], width,
+                                       band_px, zc, interpret)
+        return acc + out, spill | sp_i
 
     @jax.jit
     def run(seg_zxy):
-        def body(i, acc):
-            z0 = i * z_chunk
-            chunk = jnp.asarray(loader_fn(z0, z_chunk), jnp.float32)
-            lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0),
-                                        (z_chunk, x, y))
-            return _accumulate_planes_banded(acc, lab, chunk, width,
-                                             z_chunk, interpret)
+        def body(i, carry):
+            acc, spill = carry
+            return step(seg_zxy, acc, spill, i * z_chunk, z_chunk)
 
-        acc = jax.lax.fori_loop(
+        acc, spill = jax.lax.fori_loop(
             0, nsteps, body,
-            jnp.zeros((max_cells, 1 + n_channels), jnp.float32))
+            (jnp.zeros((max_cells, 1 + n_channels), jnp.float32),
+             jnp.bool_(False)))
         if tail:
-            z0 = nsteps * z_chunk
-            chunk = jnp.asarray(loader_fn(z0, tail), jnp.float32)
-            lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0), (tail, x, y))
-            acc = _accumulate_planes_banded(acc, lab, chunk, width, tail,
-                                            interpret)
-        return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
+            acc, spill = step(seg_zxy, acc, spill, nsteps * z_chunk, tail)
+        return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0), spill
 
     return run
 

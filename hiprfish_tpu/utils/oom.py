@@ -22,10 +22,20 @@ log = logging.getLogger("hiprfish_tpu.oom")
 
 
 def is_oom_error(e: Exception) -> bool:
-    """True for XLA device out-of-memory failures (any backend)."""
+    """True for XLA device out-of-memory failures (any backend).
+
+    Matches both dispatch-time RESOURCE_EXHAUSTED and the tunneled
+    platform's compile-time OOMs, which arrive as INTERNAL HTTP 500s
+    whose body says "Ran out of memory in memory space hbm" or
+    "Allocation ... would exceed memory" (measured 2026-08-18 — the
+    exact-case "Out of memory" test missed both and the 3D run died
+    instead of falling back)."""
     s = str(e)
-    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
-            or "OOM" in s or "ResourceExhausted" in s)
+    sl = s.lower()
+    return ("RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+            or "OOM" in s or "out of memory" in sl
+            or "would exceed memory" in sl
+            or "exceeded hbm capacity" in sl)
 
 
 def run_with_backoff(fn: Callable, sizes: Sequence,

@@ -42,7 +42,11 @@ def test_3d_tile_and_seed_programs_stay_small():
 
     gs = s3._global_seeds.lower(
         jax.ShapeDtypeStruct((x, y, z), jnp.float32), f32s)
-    assert _ops(gs) < 1100, _ops(gs)              # 825 @ 2026-08-18 (f32)
+    # 1152 @ 2026-08-18: the coarse-pool reshape became c strided slices
+    # per axis and the upsample an axis-gather — more (cheap) ops, but it
+    # removed a 22.8 GB tile-padded bool intermediate that OOM'd at
+    # compile on the 16 GB chip (see labeling._block_pool).
+    assert _ops(gs) < 1550, _ops(gs)
 
 
 @pytest.mark.slow

@@ -28,7 +28,9 @@ def test_fused_measure_matches_streamed_and_numpy():
 
     run = segment3d.make_fused_measure(loader, (X, Y, Z), 4, C, mc,
                                        interpret=True)  # tail: 10 = 2*4+2
-    avg = np.asarray(run(jnp.transpose(jnp.asarray(lab), (2, 0, 1))))
+    avg, spill = run(jnp.transpose(jnp.asarray(lab), (2, 0, 1)))
+    assert not bool(spill)
+    avg = np.asarray(avg)
 
     streamed = np.asarray(segment3d.measure_volume_streamed(
         jnp.asarray(lab), lambda z0, zc: data[:, z0:z0 + zc], Z, 4, C, mc,

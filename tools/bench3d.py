@@ -190,15 +190,28 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
 
     # ---- measure (timed): streamed 63-channel segment_sum ----
     t0 = time.time()
+    avg = None
+    measure_path = "streamed 63ch"
     if fused_measure is not None:
-        avg = fused_measure(jnp.transpose(seg, (2, 0, 1)))
-    else:
+        from hiprfish_tpu.utils import oom
+        try:
+            avg, spill = fused_measure(jnp.transpose(seg, (2, 0, 1)))
+            if bool(spill):
+                log("fused measure band spill -> streamed fallback")
+                avg = None
+            else:
+                measure_path = "fused one-dispatch"
+        except Exception as e:
+            if not oom.is_oom_error(e):
+                raise
+            log("fused measure RESOURCE_EXHAUSTED -> streamed fallback")
+    if avg is None:
         avg = segment3d.measure_volume_streamed(
             seg, loader, shape[2], z_chunk, layout.n_channels, max_cells,
             channels_major=True)
     sync(avg)
     timings["measure_s"] = time.time() - t0
-    log(f"measure (streamed 63ch): {timings['measure_s']:.1f}s")
+    log(f"measure ({measure_path}): {timings['measure_s']:.1f}s")
 
     # ---- classify (timed) ----
     t0 = time.time()
