@@ -76,7 +76,7 @@ def _jpeg_decode_chain(raw: bytes, entry) -> np.ndarray:
 
 def _autoload_codecs() -> None:
     """Wire codec decoders: imagecodecs when importable, then the native
-    libjpeg / PIL chain for JPEG."""
+    codecs — jxr.cc for JPEG XR, the libjpeg / PIL chain for JPEG."""
     if _DECOMPRESSORS.get("_auto"):
         return
     _DECOMPRESSORS["_auto"] = True
@@ -93,6 +93,11 @@ def _autoload_codecs() -> None:
             _DECOMPRESSORS.setdefault(
                 COMP_JPEG, lambda raw, entry: np.asarray(
                     imagecodecs.jpeg8_decode(raw)))
+    from hiprfish_tpu.io import jxr
+
+    if jxr.available():
+        _DECOMPRESSORS.setdefault(
+            COMP_JPEGXR, lambda raw, entry: jxr.decode(raw))
     _DECOMPRESSORS.setdefault(COMP_JPEG, _jpeg_decode_chain)
 
 
@@ -438,10 +443,14 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
     """Write a (Z, T, C, Y, X)-indexable array as a CZI.
 
     ``planes``: array of shape (Y, X, C) or (Z, Y, X, C) or (T, Z, Y, X, C).
-    ``compression``: COMP_UNCOMPRESSED or COMP_ZSTD0 natively; any other id
-    (e.g. COMP_JPEGXR) requires ``compressor``, a ``bytes -> bytes`` encoder
-    for the per-plane payload (the read side resolves the matching decoder
-    through the register_decompressor registry / imagecodecs).
+    ``compression``: COMP_UNCOMPRESSED, COMP_ZSTD0, and — for Gray8/Gray16
+    pixel types — COMP_JPEGXR are handled natively (JPEG XR through
+    native/jxr.cc; pass ``jxr_qp``/``jxr_overlap`` through ``compressor``
+    by giving a callable instead). Any other id requires ``compressor``,
+    a per-plane encoder (the read side resolves the matching decoder
+    through the register_decompressor registry / imagecodecs). A plane
+    compressor may take the raw bytes OR the 2-D plane array: callables
+    with a ``wants_array`` attribute set truthy receive the array.
     """
     arr = np.asarray(planes)
     if arr.ndim == 3:
@@ -502,7 +511,21 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
 
                     data = zstandard.ZstdCompressor().compress(data)
                 elif compressor is not None:
-                    data = compressor(data)
+                    data = (compressor(plane)
+                            if getattr(compressor, "wants_array", False)
+                            else compressor(data))
+                elif compression == COMP_JPEGXR:
+                    from hiprfish_tpu.io import jxr
+
+                    if dtype not in (np.dtype("uint8"), np.dtype("<u2")):
+                        raise NotImplementedError(
+                            "JPEG XR planes must be Gray8/Gray16 "
+                            f"(pixel_type {pixel_type} is {dtype})")
+                    if not jxr.available():
+                        raise NotImplementedError(
+                            "native JPEG XR library not built; pass a "
+                            "`compressor` callable")
+                    data = jxr.encode(plane)
                 elif compression != COMP_UNCOMPRESSED:
                     raise NotImplementedError(
                         f"writing compression {compression} needs a "

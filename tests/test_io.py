@@ -138,15 +138,16 @@ def test_calibration_cube():
 
 
 def test_czi_codec_registry_roundtrip(tmp_path, rng):
-    """Codec-compressed subblocks resolve through the decompressor registry
-    (the JPEG-XR integration point; a zlib stand-in plays the codec here
-    since no JXR implementation exists in this environment)."""
+    """Codec-compressed subblocks resolve through the decompressor
+    registry (an unassigned compression id with a zlib stand-in; the real
+    JPEG-XR path through this registry is covered by test_jxr.py)."""
     import zlib
 
+    fake_id = 99
     plane = (rng.rand(31, 29, 3) * 60000).astype(np.uint16).astype(np.float32)
     plane /= 65535.0
     path = str(tmp_path / "jxr.czi")
-    czi.write_czi(path, plane, compression=czi.COMP_JPEGXR,
+    czi.write_czi(path, plane, compression=fake_id,
                   compressor=zlib.compress)
     f = czi.CziFile(path)
     # Unregistered codec -> clear, actionable error.
@@ -154,14 +155,14 @@ def test_czi_codec_registry_roundtrip(tmp_path, rng):
         f.load_plane()
     try:
         czi.register_decompressor(
-            czi.COMP_JPEGXR,
+            fake_id,
             lambda raw, entry: np.frombuffer(
                 zlib.decompress(raw), np.float32
             ).reshape(entry.dim_size("Y"), entry.dim_size("X")))
         got = czi.CziFile(path).load_plane()
         np.testing.assert_allclose(got, plane, rtol=1e-6)
     finally:
-        czi._DECOMPRESSORS.pop(czi.COMP_JPEGXR, None)
+        czi._DECOMPRESSORS.pop(fake_id, None)
 
 
 def test_czi_jpeg_native_decode_roundtrip(tmp_path, rng):
