@@ -147,9 +147,11 @@ def load_plane_native(czi_file, z: int = 0, t: int = 0, series: int = 0,
             continue
         # pixel_type 3 (Bgr24, 3 samples/pixel) has no native decode case —
         # routing it here would pay a full failed assembly pass per plane
-        # before the Python fallback.
-        if e.compression not in (0, 1, 5, 6) \
-                or e.pixel_type not in (0, 1, 2, 12):
+        # before the Python fallback. JPEG XR (4) decodes natively for
+        # Gray8/Gray16 via jxr.cc linked into the same library.
+        if e.compression not in (0, 1, 4, 5, 6) \
+                or e.pixel_type not in (0, 1, 2, 12) \
+                or (e.compression == 4 and e.pixel_type not in (0, 1)):
             return None
         entries.append(e)
     if not entries:

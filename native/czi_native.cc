@@ -75,6 +75,11 @@ bool decode_jpeg_u8(const uint8_t* buf, size_t len, uint8_t* out,
 
 extern "C" {
 
+// From jxr.cc (linked into this library): the from-scratch T.832 codec.
+int jxr_decode(const uint8_t* buf, int64_t size, uint8_t* out,
+               int64_t out_cap, int32_t* w, int32_t* h, int32_t* channels,
+               int32_t* bytes_per_sample);
+
 struct SubblockDesc {
   int64_t data_pos;      // absolute file offset of pixel data
   int64_t data_size;     // stored (possibly compressed) byte size
@@ -139,8 +144,31 @@ static bool decode_block(FILE* f, const SubblockDesc& d, float* out,
           dst[x * C + c] = src[x * d.sc + c] / 255.0f;
     }
     return true;
+  } else if (d.compression == 4) {  // JPEG XR (jxr.cc)
+    if (d.sc != 1 || (d.pixel_type != 0 && d.pixel_type != 1))
+      return false;
+    int bps = d.pixel_type == 1 ? 2 : 1;
+    scratch.resize((size_t)d.sy * d.sx * bps);
+    int32_t jw, jh, jc, jbps;
+    if (jxr_decode(data, (int64_t)data_len, scratch.data(),
+                   (int64_t)scratch.size(), &jw, &jh, &jc, &jbps) != 0)
+      return false;
+    if (jw != d.sx || jh != d.sy || jc != 1 || jbps != bps) return false;
+    float scale = bps == 2 ? 65535.0f : 255.0f;
+    for (int64_t y = 0; y < d.sy; ++y) {
+      float* dst = out + ((d.y0 + y) * W + d.x0) * C + d.c0;
+      if (bps == 2) {
+        const uint16_t* src =
+            (const uint16_t*)scratch.data() + (size_t)y * d.sx;
+        for (int64_t x = 0; x < d.sx; ++x) dst[x * C] = src[x] / scale;
+      } else {
+        const uint8_t* src = scratch.data() + (size_t)y * d.sx;
+        for (int64_t x = 0; x < d.sx; ++x) dst[x * C] = src[x] / scale;
+      }
+    }
+    return true;
   } else if (d.compression != 0) {
-    return false;  // JPEG-XR unsupported natively
+    return false;
   }
 
   const int64_t n = (int64_t)d.sy * d.sx * d.sc;

@@ -146,6 +146,27 @@ def test_czi_jpegxr_gray8(tmp_path, rng):
                                atol=1e-7)
 
 
+def test_czi_jpegxr_native_threaded_assembly(tmp_path, rng):
+    """The C++ thread-pool assembler (czi_native.cc) decodes compression=4
+    subblocks directly — jxr.cc is linked into libczi_native.so — so
+    multi-subblock JXR planes never fall back to the serial Python path."""
+    from hiprfish_tpu.io import czi_native
+
+    if czi_native.get_library() is None:
+        pytest.skip("native library not built")
+    raw = (rng.rand(64, 96, 3) * 60000).astype("<u2")
+    path = str(tmp_path / "jxr_nat.czi")
+    czi.write_czi(path, raw, pixel_type=1, compression=czi.COMP_JPEGXR)
+    f = czi.CziFile(path)
+    try:
+        nat = czi_native.load_plane_native(f)
+    finally:
+        f.close()
+    assert nat is not None, "native assembler fell back"
+    np.testing.assert_allclose(nat, raw.astype(np.float32) / 65535.0,
+                               atol=1e-7)
+
+
 def test_czi_jpegxr_float_planes_rejected(tmp_path, rng):
     with pytest.raises(NotImplementedError, match="Gray8/Gray16"):
         czi.write_czi(str(tmp_path / "f.czi"),
