@@ -69,6 +69,12 @@ def maybe_register_pinned_axon_session() -> None:
 
 
 def apply_platform_env() -> None:
+    # Every CLI entry point routes through here, so a launcher that fans
+    # samples out as processes (the reference's Snakemake pattern,
+    # ecoli/Snakefile:63-114) can share one compile cache by exporting
+    # HIPRFISH_AXON_MANUAL_SESSION and clearing PALLAS_AXON_POOL_IPS —
+    # a no-op otherwise.
+    maybe_register_pinned_axon_session()
     apply_compile_cache_env()
     spec = os.environ.get("HIPRFISH_PLATFORM")
     if not spec:
