@@ -172,3 +172,29 @@ def test_czi_jpegxr_float_planes_rejected(tmp_path, rng):
         czi.write_czi(str(tmp_path / "f.czi"),
                       rng.rand(32, 32, 1).astype(np.float32),
                       pixel_type=2, compression=czi.COMP_JPEGXR)
+
+
+def test_decoder_fuzz_never_crashes():
+    """Random and mutated byte streams: every outcome must be a clean
+    ValueError or a successfully decoded array — never a crash, hang, or
+    unbounded allocation (the decoder runs in-process over ctypes, so a
+    C++ fault here would take pytest down: that is the assertion)."""
+    rng = np.random.default_rng(3)
+    enc = jxr.encode(_textured((48, 64), np.uint16, rng), qp=1, overlap=1)
+    streams = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+               for n in (0, 1, 7, 64, 4096)]
+    streams += [enc[:1], enc[:17], enc + b"\x00" * 9]
+    for _ in range(60):
+        bad = bytearray(enc)
+        for _ in range(int(rng.integers(1, 6))):
+            bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+        streams.append(bytes(bad))
+    ok = err = 0
+    for s in streams:
+        try:
+            out = jxr.decode(s)
+            assert out.size > 0
+            ok += 1
+        except ValueError:
+            err += 1
+    assert ok + err == len(streams)
