@@ -1140,7 +1140,16 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
 
     ``channels_major=True``: the loader yields (C, zc, X, Y) slabs — the
     layout that avoids the minor-dim channel padding (see
-    _accumulate_chunk_cm); otherwise (X, Y, zc, C)."""
+    _accumulate_chunk_cm); otherwise (X, Y, zc, C).
+
+    A device OOM (e.g. a too-deep z_chunk at full 2020x2020 scale —
+    measured: z_chunk=4's streamed fallback itself exhausted HBM) retries
+    the whole accumulation down a halving ladder of slab depths; each
+    attempt ends in a scalar host read so an async RESOURCE_EXHAUSTED
+    surfaces inside the handler (block_until_ready does not block under
+    the tunneled platform)."""
+    from hiprfish_tpu.utils import oom
+
     if channels_major:
         if jax.default_backend() not in ("cpu", "gpu"):
             # banded-matmul path: transpose the label volume once so each
@@ -1148,29 +1157,51 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
             # (X, Y, Z) re-reads whole lane tiles per plane), then run one
             # stats_cm_pallas call per plane
             seg_zxy = jnp.transpose(seg, (2, 0, 1))
-            acc = jnp.zeros((max_cells, 1 + n_channels), jnp.float32)
-            for z0 in range(0, z_total, z_chunk):
-                zc = min(z_chunk, z_total - z0)
-                chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
-                acc = _accumulate_planes_banded_at(
-                    acc, seg_zxy, chunk, np.int32(z0), 512, zc)
+
+            def _run_banded(zc_max):
+                acc = jnp.zeros((max_cells, 1 + n_channels), jnp.float32)
+                for z0 in range(0, z_total, zc_max):
+                    zc = min(zc_max, z_total - z0)
+                    chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+                    acc = _accumulate_planes_banded_at(
+                        acc, seg_zxy, chunk, np.int32(z0), 512, zc)
+                float(acc[0, 0])  # scalar sync: surface async OOM here
+                return acc
+
+            acc, _ = oom.run_with_backoff(
+                _run_banded, oom.halving_ladder(z_chunk, 1), label="z_chunk")
             return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
-        sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
-        counts = jnp.zeros((max_cells,), jnp.float32)
-        for z0 in range(0, z_total, z_chunk):
-            zc = min(z_chunk, z_total - z0)
-            chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
-            sums_cm, counts = _accumulate_chunk_cm(
-                sums_cm, counts,
-                jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2), chunk)
+
+        def _run_cm(zc_max):
+            sums_cm = jnp.zeros((n_channels, max_cells), jnp.float32)
+            counts = jnp.zeros((max_cells,), jnp.float32)
+            for z0 in range(0, z_total, zc_max):
+                zc = min(zc_max, z_total - z0)
+                chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+                sums_cm, counts = _accumulate_chunk_cm(
+                    sums_cm, counts,
+                    jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2), chunk)
+            float(counts[0])  # scalar sync: surface async OOM here
+            return sums_cm, counts
+
+        (sums_cm, counts), _ = oom.run_with_backoff(
+            _run_cm, oom.halving_ladder(z_chunk, 1), label="z_chunk")
         return (sums_cm / jnp.maximum(counts, 1.0)[None, :]).T
-    sums = jnp.zeros((max_cells, n_channels), jnp.float32)
-    counts = jnp.zeros((max_cells,), jnp.float32)
-    for z0 in range(0, z_total, z_chunk):
-        zc = min(z_chunk, z_total - z0)
-        chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
-        sums, counts = _accumulate_chunk(
-            sums, counts, jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2), chunk)
+
+    def _run(zc_max):
+        sums = jnp.zeros((max_cells, n_channels), jnp.float32)
+        counts = jnp.zeros((max_cells,), jnp.float32)
+        for z0 in range(0, z_total, zc_max):
+            zc = min(zc_max, z_total - z0)
+            chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+            sums, counts = _accumulate_chunk(
+                sums, counts,
+                jax.lax.dynamic_slice_in_dim(seg, z0, zc, 2), chunk)
+        float(counts[0])  # scalar sync: surface async OOM here
+        return sums, counts
+
+    (sums, counts), _ = oom.run_with_backoff(
+        _run, oom.halving_ladder(z_chunk, 1), label="z_chunk")
     return sums / jnp.maximum(counts, 1.0)[:, None]
 
 

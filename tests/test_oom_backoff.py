@@ -153,3 +153,66 @@ def test_batch_runner_splits_batch_on_oom(tmp_path, rng, monkeypatch):
     for i in range(4):
         assert (tmp_path / f"s{i}_avgint.csv").exists()
         assert (tmp_path / f"s{i}_cell_ids.txt").exists()
+
+
+def test_measure_streamed_backs_off_z_chunk(rng):
+    """measure_volume_streamed retries the whole accumulation at halved
+    slab depth when a slab OOMs (measured on-chip 2026-08-18: at full
+    2020x2020x170 scale a z_chunk=4 streamed sweep itself exhausted HBM
+    after the fused measure already had — the ladder is the only way the
+    measurement stage survives)."""
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.pipeline import segment3d
+
+    x = y = 16
+    z, c, max_cells = 5, 3, 8
+    seg = rng.randint(0, max_cells, (x, y, z)).astype(np.int32)
+    vol = rng.rand(x, y, z, c).astype(np.float32)
+
+    calls = []
+
+    def loader(z0, zc):
+        calls.append(zc)
+        if zc > 1:
+            raise FakeOom()
+        return vol[:, :, z0:z0 + zc, :]
+
+    got = np.asarray(segment3d.measure_volume_streamed(
+        jnp.asarray(seg), loader, z, 4, c, max_cells))
+
+    assert 4 in calls and 2 in calls  # walked 4 -> 2 -> 1
+    want = np.zeros((max_cells, c), np.float32)
+    for lbl in range(max_cells):
+        m = seg == lbl
+        if m.any():
+            want[lbl] = vol[m].mean(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_measure_streamed_backs_off_z_chunk_channels_major(rng):
+    """Same ladder on the channels-major layout ((C, zc, X, Y) slabs)."""
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.pipeline import segment3d
+
+    x = y = 16
+    z, c, max_cells = 5, 3, 8
+    seg = rng.randint(0, max_cells, (x, y, z)).astype(np.int32)
+    vol = rng.rand(x, y, z, c).astype(np.float32)
+    vol_cm = vol.transpose(3, 2, 0, 1)  # (C, Z, X, Y)
+
+    def loader(z0, zc):
+        if zc > 1:
+            raise FakeOom()
+        return vol_cm[:, z0:z0 + zc]
+
+    got = np.asarray(segment3d.measure_volume_streamed(
+        jnp.asarray(seg), loader, z, 4, c, max_cells, channels_major=True))
+
+    want = np.zeros((max_cells, c), np.float32)
+    for lbl in range(max_cells):
+        m = seg == lbl
+        if m.any():
+            want[lbl] = vol[m].mean(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
