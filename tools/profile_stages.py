@@ -82,11 +82,24 @@ def main():
     # --- registration -------------------------------------------------
     @jax.jit
     def stage_register(stack):
+        # mirrors fused.segment_lpcv_device:54-72 — phase correlation on
+        # the centered register_crop window (full-frame FFTs here once
+        # overstated this stage 32.8 vs ~13 ms), clamped like the engine
         projections = [jnp.sum(img, axis=2) for img in stack]
         ref0 = projections[0]
+        c = cfg.register_crop
+        h, w = ref0.shape
+        if c and h > c and w > c:
+            r0, c0 = (h - c) // 2, (w - c) // 2
+            _crop = lambda im: jax.lax.slice(im, (r0, c0), (r0 + c, c0 + c))
+        else:
+            _crop = lambda im: im
+        cref = _crop(ref0)
         parts = [stack[0]]
         for i in range(1, len(stack)):
-            s = reg.register_translation(ref0, projections[i])
+            s = reg.register_translation(cref, _crop(projections[i]))
+            if cfg.clamp_shift:
+                s = reg.clamp_shift(s, cfg.max_shift)
             shifted, _ = reg.apply_shift_2d(stack[i], s)
             parts.append(shifted)
         registered = jnp.concatenate(parts, axis=2)
