@@ -177,11 +177,20 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
         out = step()
         out[0].block_until_ready()
         times.append(time.time() - t0)
-    t = float(np.median(times))
-    print(f"# [10b] steady-state: {t*1000:.1f} ms/FOV, accuracy {acc:.4f} "
+    t_sync = float(np.median(times))
+    # pipelined: queue back-to-back, one scalar sync (same rationale as the
+    # 7-bit config — the per-call loop pays a tunnel round-trip per FOV)
+    n_q = 8
+    t0 = time.time()
+    outs = [step() for _ in range(n_q)]
+    float(outs[-1][1])
+    t = (time.time() - t0) / n_q
+    print(f"# [10b] steady-state: {t*1000:.1f} ms/FOV pipelined x{n_q} "
+          f"({t_sync*1000:.1f} per-call), accuracy {acc:.4f} "
           f"({correct}/{total})", file=sys.stderr)
     return {
         "ms_per_fov": round(t * 1000, 1),
+        "ms_per_fov_sync": round(t_sync * 1000, 1),
         "megapixels_per_s": round(size * size / 1e6 / t, 2),
         "barcode_accuracy": round(acc, 4),
         "cells": int(n_found),
