@@ -149,6 +149,11 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     # sheet-shaped noise labels, both stitch-seam shaped).
     S = 3
     volp = jnp.pad(vol, ((S, S), (S, S), (S, S)), mode="edge")
+    # free the unpadded scene before cutting: vol + volp + 8 tiles was an
+    # ~11 GB transient peak that, concurrent with cold-process warmup
+    # compiles, cascaded into RESOURCE_EXHAUSTED (2026-08-18 full-bench run)
+    sync(volp)
+    del vol
     tiles = [
         jax.lax.dynamic_slice(
             volp,
@@ -159,7 +164,7 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
         for i in range(gy) for j in range(gx)
     ]
     sync(tiles[-1])
-    del vol, volp
+    del volp
 
     # ---- stitch (timed) ----
     pad = 10
