@@ -34,6 +34,24 @@ def test_kmeans1d_matches_sklearn_two_well_separated(rng):
     assert centers[0] < centers[1]
 
 
+def test_kmeans1d_subsampled_large_input(rng):
+    """Inputs past the 2^19 histogram cap take the contiguous-block
+    subsample path (ops/kmeans._value_histogram); centers must still match
+    the full-data solution on a well-separated mixture."""
+    n = (1 << 19) * 3 + 789          # > cap, not a multiple of the block
+    vals = np.concatenate(
+        [rng.normal(0.12, 0.02, (2 * n) // 3),
+         rng.normal(0.85, 0.05, n - (2 * n) // 3)]
+    ).astype(np.float32)
+    rng.shuffle(vals)
+    centers = np.asarray(kmeans.kmeans1d_centers(jnp.asarray(vals), 2))
+    np.testing.assert_allclose(centers, [0.12, 0.85], atol=0.01)
+    # the brightest-cluster mask threshold is the center midpoint; check it
+    # splits the mixture where the full-data KMeans would
+    mask = np.asarray(kmeans.brightest_cluster_mask(jnp.asarray(vals), 2))
+    assert abs(mask.mean() - 1 / 3) < 0.01
+
+
 def test_kmeans1d_three_clusters(rng):
     vals = np.concatenate(
         [rng.normal(m, 0.02, 1000) for m in (0.1, 0.5, 0.9)]
