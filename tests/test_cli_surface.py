@@ -221,3 +221,38 @@ def test_cli_workflow_ecoli_end_to_end(tmp_path, monkeypatch):
     cli_workflow.main([str(config), "--max_cells", "64"])
     for a in artifacts:     # freshness skip: nothing re-ran
         assert os.path.getmtime(a) == mtimes[a], a
+
+
+def test_bench_retry_on_transient_config_failure(monkeypatch):
+    """The bench orchestrator retries a failed config once in a fresh
+    process (transient device-OOM cascades; see bench.py), but never
+    retries timeouts and keeps the original error when the retry also
+    fails."""
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = []
+
+    def flaky(config, timeout_s=1500):
+        calls.append(config)
+        if len(calls) == 1:
+            return {"error": "RESOURCE_EXHAUSTED"}
+        return {"ms_per_fov": 1.0}
+
+    monkeypatch.setattr(bench, "_run_config_subprocess", flaky)
+    assert bench._run_config_with_retry("3d") == {"ms_per_fov": 1.0}
+    assert calls == ["3d", "3d"]
+
+    monkeypatch.setattr(bench, "_run_config_subprocess",
+                        lambda c, timeout_s=1500: {"error": "3d timed out after 1500s"})
+    out = bench._run_config_with_retry("3d")
+    assert out["error"].startswith("3d timed out")  # no retry on timeout
+
+    monkeypatch.setattr(bench, "_run_config_subprocess",
+                        lambda c, timeout_s=1500: {"error": "boom"})
+    out = bench._run_config_with_retry("3d")
+    assert out == {"error": "boom", "retry_error": "boom"}
