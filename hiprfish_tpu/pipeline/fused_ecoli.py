@@ -24,9 +24,9 @@ from hiprfish_tpu.ops import watershed as ws
 from hiprfish_tpu.pipeline.segment2d import _erode_labels_twice
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
-                         max_cells: int = 4096):
+                         max_cells: int = 4096, stop_after: str = ""):
     """(seg, n_cells, registered, avgint) for a tuple of per-laser (H, W, C_l)
     planes — pure device program.
 
@@ -34,7 +34,16 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     shape props, spectral measurement) run as windowed one-hot matmuls over
     sequential band-local ids (ops/segstats.py) — zero full-image
     gathers/scatters, the dominant cost of the previous formulation.
+
+    ``stop_after`` (static, profiling only): truncate the program after the
+    named stage and return a scalar checksum of that stage's output —
+    consecutive prefix timings attribute IN-PROGRAM cost (including layout/
+    fusion effects stage-isolated timing can't see). Empty = full program.
     """
+
+    def _ck(x):
+        return jnp.sum(x.astype(jnp.float32))
+
     projections = [jnp.max(img, axis=2) for img in stack]
     ref0 = projections[0]
     # FFT registration on a centered power-of-two crop (config.register_crop,
@@ -59,12 +68,18 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     registered = jnp.concatenate(parts, axis=2) * overlap[:, :, None]
     fov_sum = jnp.sum(registered, axis=2)
     image_cn = jnp.log(fov_sum + 1e-2)
+    if stop_after == 'register':
+        return _ck(image_cn)
 
     fg, interior = km.brightest_cluster_masks(image_cn, (2, 3),
                                              cfg.kmeans_iters)
+    if stop_after == 'kmeans':
+        return _ck(fg) + _ck(interior)
     interior = segstats.remove_small_holes_fast(
         interior, 64, flood_max_run=64, exact_fallback=False)
     interior = morph.binary_opening(interior)
+    if stop_after == 'opening':
+        return _ck(interior)
     # Single CCL+rank + ONE stats pass carries the whole seeding decision:
     # the reference's remove_small_objects(50) -> label -> per-erosion-round
     # regionprops (spectral_image_measurement.py:97-110) collapses into the
@@ -81,6 +96,8 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
         lab.label(interior, 2, cfg.ccl_max_iters, cfg.scan_cap), 2,
         cfg.ccl_max_iters, cfg.scan_cap)
     comp0 = jnp.minimum(comp0, pre_segments - 1)
+    if stop_after == 'ccl':
+        return _ck(comp0)
 
     # Erosion seeding via the erosion-depth (L1 distance) transform: pixel p
     # survives k erosions iff depth(p) > k, so the per-iteration "component
@@ -102,9 +119,13 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     _, depth = jax.lax.fori_loop(
         0, kmax - 1, _erode_step, (interior, interior.astype(jnp.int32)))
     depth_c = jnp.clip(depth, 0, kmax)
+    if stop_after == 'depth':
+        return _ck(depth_c)
     dstats = segstats.label_stats(comp0, None, pre_segments, width=256,
                                   aux=depth_c, aux_classes=kmax + 1)
     hist = dstats.aux_hist                                     # (C, kmax+1)
+    if stop_after == 'dhist':
+        return _ck(hist) + _ck(dstats.counts)
     # area_k[c, k] = component c's area after k erosions = #pixels depth > k.
     area_k = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1][:, 1:]  # (C, kmax)
     small = area_k < cfg.seed_area_max
@@ -121,8 +142,12 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
         lab.label(seed_mask, 2, cfg.ccl_max_iters, cfg.scan_cap), 2,
         cfg.ccl_max_iters, cfg.scan_cap)
     markers = jnp.minimum(markers, pre_segments - 1)
+    if stop_after == 'markers':
+        return _ck(markers)
 
     seg_ws = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
+    if stop_after == 'watershed':
+        return _ck(seg_ws)
 
     # Size/border filter + shape gate + post-erosion measurement, all in ONE
     # stats pass: the double-eroded label image keeps its parent's ids
@@ -132,10 +157,14 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # ~20 ms at 2000^2 x 95 ch) collapses into added matmul columns.
     eroded = _erode_labels_twice(seg_ws)
     mask_e = (eroded > 0).astype(jnp.float32)
+    if stop_after == 'eroded':
+        return _ck(eroded)
     s1 = segstats.label_stats(seg_ws, registered, pre_segments,
                               width=256, moments=True,
                               image_mask=mask_e)
     counts_e = s1.mask_counts
+    if stop_after == 'stats':
+        return _ck(s1.counts) + _ck(s1.sums) + _ck(s1.moments) + _ck(counts_e)
     sums_e = s1.sums
     keep = (s1.counts >= cfg.cell_min_size) & (s1.border_hits == 0)
     n = jnp.maximum(s1.counts, 1.0)

@@ -26,9 +26,9 @@ os.environ.setdefault(
 
 import numpy as np
 
-from hiprfish_tpu.utils.platform import apply_compile_cache_env
+from hiprfish_tpu.utils.platform import apply_platform_env
 
-apply_compile_cache_env()
+apply_platform_env()
 
 
 def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,

@@ -21,9 +21,9 @@ os.environ.setdefault(
 
 import numpy as np
 
-from hiprfish_tpu.utils.platform import apply_compile_cache_env
+from hiprfish_tpu.utils.platform import apply_platform_env
 
-apply_compile_cache_env()
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp

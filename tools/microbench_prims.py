@@ -16,9 +16,9 @@ os.environ.setdefault("HIPRFISH_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 
 import numpy as np
-from hiprfish_tpu.utils.platform import apply_compile_cache_env
+from hiprfish_tpu.utils.platform import apply_platform_env
 
-apply_compile_cache_env()
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from hiprfish_tpu.utils.platform import apply_compile_cache_env
+from hiprfish_tpu.utils.platform import apply_platform_env
 
-apply_compile_cache_env()
+apply_platform_env()
 
 from _timing import device_time_ms
 
@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--size", type=int, default=2000)
     ap.add_argument("--cells", type=int, default=400)
     ap.add_argument("--spc", type=int, default=50)
+    ap.add_argument("--prefix", action="store_true",
+                    help="time cumulative in-program prefixes of the fused "
+                         "engine (stop_after=...) instead of isolated "
+                         "stages — deltas attribute in-program cost "
+                         "including layout/fusion effects")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +71,25 @@ def main():
     jax.block_until_ready(stack)
     print(f"# fixture {size}^2 x 5 lasers on "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
+
+    if args.prefix:
+        names = ["register", "kmeans", "opening", "ccl", "depth", "dhist",
+                 "markers", "watershed", "eroded", "stats", ""]
+        prev = 0.0
+        for nm in names:
+            if nm == "":
+                fn = lambda st: fused_ecoli.segment_ecoli_device(
+                    st, cfg, max_cells)[1]
+            else:
+                fn = (lambda st, _nm=nm: fused_ecoli.segment_ecoli_device(
+                    st, cfg, max_cells, _nm))
+            t, _ = device_time_ms(fn, stack, n=3, reps=3, warmup=1)
+            label = nm or "FULL segment_ecoli_device"
+            print(f"{label:<28} cum {t:8.1f} ms   delta {t - prev:8.1f} ms",
+                  flush=True)
+            prev = t
+        return
+
 
     rng = np.random.RandomState(0)
     lut = synthetic.fluorophore_spectra(layout)
