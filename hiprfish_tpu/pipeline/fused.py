@@ -72,6 +72,9 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     registered = jnp.concatenate(parts, axis=2)
     if calibration is not None:
         registered = registered / calibration
+    # Materialize ONCE (same hazard as fused_ecoli: the unaligned lane-dim
+    # laser concat otherwise re-fuses into the downstream stats pack).
+    registered = jax.lax.optimization_barrier(registered)
     fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
     if denoise:

@@ -66,6 +66,11 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
         parts.append(shifted)
         overlap = overlap & mask
     registered = jnp.concatenate(parts, axis=2) * overlap[:, :, None]
+    # Materialize ONCE: the 5-laser lane-dim concat sits at unaligned channel
+    # offsets, and without the barrier XLA re-fuses this whole registration
+    # chain into the stats kernel's operand pack — measured +68 ms on the
+    # full program at 2000^2x95 (prefix attribution, PROFILE_r03.md).
+    registered = jax.lax.optimization_barrier(registered)
     fov_sum = jnp.sum(registered, axis=2)
     image_cn = jnp.log(fov_sum + 1e-2)
     if stop_after == 'register':

@@ -75,6 +75,9 @@ def main():
     if args.prefix:
         names = ["register", "kmeans", "opening", "ccl", "depth", "dhist",
                  "markers", "watershed", "eroded", "stats", ""]
+        if os.environ.get("HIPRFISH_PREFIX_STAGES"):
+            sel = os.environ["HIPRFISH_PREFIX_STAGES"].split(",")
+            names = [n for n in names if n in sel or (n == "" and "full" in sel)]
         prev = 0.0
         for nm in names:
             if nm == "":
