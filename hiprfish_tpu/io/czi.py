@@ -254,6 +254,15 @@ class CziFile:
         (xml_size,) = struct.unpack_from("<i", buf, 0)
         return buf[256:256 + max(xml_size, 0)].decode("utf-8", "replace")
 
+    @property
+    def pixel_size_um(self):
+        """Lateral pixel size in µm from the Scaling metadata block
+        (<Distance Id="X"><Value> is meters in Zeiss XML), or None.
+        The reference hard-codes 0.0675 µm in its figure scale bars
+        (biofilm_analysis.py:245); this lets callers use the file's own
+        calibration when present."""
+        return pixel_size_um(self.metadata_xml)
+
     def _dim_extent(self, d: str) -> int:
         hi = 0
         for e in self.entries:
@@ -430,6 +439,13 @@ class CziFile:
     def close(self):
         self._f.close()
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
 
 # ---------------------------------------------------------------------------
 # Minimal writer (tests / array -> CZI conversion)
@@ -554,3 +570,33 @@ def write_czi(path: str, planes: np.ndarray, pixel_type: int = 2,
 
     with open(path, "wb") as f:
         f.write(out)
+
+
+def pixel_size_um(metadata_xml: str):
+    """Parse the lateral pixel size (µm) out of Zeiss Scaling XML.
+
+    Zeiss metadata stores <Scaling><Items><Distance Id="X"><Value>V
+    with V in meters. Returns None when the XML has no parseable X
+    scaling (callers then fall back to the reference's hard-coded
+    0.0675 µm, biofilm_analysis.py:245)."""
+    if not metadata_xml:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(metadata_xml)
+    except ET.ParseError:
+        return None
+    for dist in root.iter("Distance"):
+        if dist.get("Id") != "X":
+            continue
+        val = dist.findtext("Value")
+        if val is None:
+            continue
+        try:
+            meters = float(val)
+        except ValueError:
+            continue
+        if meters > 0:
+            return meters * 1e6
+    return None

@@ -49,22 +49,82 @@ def label2rgb(labels: np.ndarray, seed: int = 7) -> np.ndarray:
     return lut[np.clip(labels, 0, n - 1)]
 
 
-def save_segmentation(segmentation: np.ndarray, sample: str, png: bool = True) -> None:
-    """Persist {sample}_seg.npy (+ _seg.png render)."""
+def save_segmentation(segmentation: np.ndarray, sample: str, png: bool = True,
+                      pixel_um: float = 0.0675) -> None:
+    """Persist {sample}_seg.npy (+ _seg.png render).
+
+    The render carries a physical-units scale bar like the reference's
+    save_segmentation (biofilm_analysis.py:245-246: ScaleBar(0.0675, 'um',
+    frameon=False, color='white')); pass pixel_um from the CZI metadata
+    (io.czi.pixel_size_um) when available, or None/0 to omit the bar.
+    """
     seg = np.asarray(segmentation)
     np.save(sample + "_seg.npy", seg)
     if png:
-        _save_image_png(label2rgb(seg), sample + "_seg.png")
+        _save_image_png(label2rgb(seg), sample + "_seg.png",
+                        pixel_um=pixel_um, framed=False)
 
 
-def save_identification_png(image_rgb_or_labels: np.ndarray, sample: str) -> None:
+def save_identification_png(image_rgb_or_labels: np.ndarray, sample: str,
+                            pixel_um: float = 0.0675) -> None:
+    """Identification render with the reference's framed scale bar
+    (biofilm_analysis.py:260-261: ScaleBar(0.0675, 'um', frameon=True,
+    color='white', box_color='black', box_alpha=0.65, location=4))."""
     img = np.asarray(image_rgb_or_labels)
     if img.ndim == 2:
         img = label2rgb(img.astype(np.int64))
-    _save_image_png(img, sample + "_identification.png")
+    _save_image_png(img, sample + "_identification.png",
+                    pixel_um=pixel_um, framed=True)
 
 
-def _save_image_png(rgb: np.ndarray, path: str) -> None:
+def _nice_bar_um(width_um: float) -> float:
+    """Largest 1/2/5·10^k length at most ~28% of the field width —
+    matplotlib_scalebar's auto length rule, so figures look like the
+    reference's."""
+    target = width_um * 0.28
+    if target <= 0:
+        return 1.0
+    k = np.floor(np.log10(target))
+    for m in (5.0, 2.0, 1.0):
+        cand = m * 10.0 ** k
+        if cand <= target:
+            return float(cand)
+    return float(10.0 ** (k - 1) * 5.0)
+
+
+def _add_scalebar(ax, shape, pixel_um: float, framed: bool) -> None:
+    """Draw a physical-units scale bar with matplotlib primitives
+    (matplotlib_scalebar is not installable here; this reproduces its
+    look: white bar + 'N µm' label, optionally on a black box, lower
+    right)."""
+    from matplotlib import patches
+
+    h, w = shape[0], shape[1]
+    bar_um = _nice_bar_um(w * pixel_um)
+    bar_px = bar_um / pixel_um
+    label = ("%g µm" % bar_um) if bar_um < 1000 else ("%g mm" % (bar_um / 1e3))
+    pad_x, pad_y = 0.04 * w, 0.04 * h
+    bar_h = max(h * 0.012, 1.0)
+    x1 = w - pad_x
+    x0 = x1 - bar_px
+    y = h - pad_y
+    if framed:
+        box = patches.FancyBboxPatch(
+            (x0 - 0.015 * w, y - 4.2 * bar_h - 0.035 * h),
+            bar_px + 0.03 * w, 4.2 * bar_h + 0.05 * h,
+            boxstyle="square,pad=0", facecolor="black", alpha=0.65,
+            edgecolor="none", zorder=9)
+        ax.add_patch(box)
+    ax.add_patch(patches.Rectangle(
+        (x0, y - bar_h), bar_px, bar_h, facecolor="white",
+        edgecolor="none", zorder=10))
+    ax.text((x0 + x1) / 2, y - 2.0 * bar_h, label, color="white",
+            ha="center", va="bottom", zorder=10,
+            fontsize=8, family="sans-serif")
+
+
+def _save_image_png(rgb: np.ndarray, path: str, pixel_um: float = None,
+                    framed: bool = False) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -74,7 +134,10 @@ def _save_image_png(rgb: np.ndarray, path: str) -> None:
     fig.set_size_inches(5, 5)
     ax = plt.Axes(fig, [0, 0, 1, 1])
     fig.add_axes(ax)
-    ax.imshow(np.clip(rgb, 0, 1))
+    rgb = np.clip(rgb, 0, 1)
+    ax.imshow(rgb)
+    if pixel_um:
+        _add_scalebar(ax, rgb.shape, float(pixel_um), framed)
     ax.set_axis_off()
     fig.savefig(path, dpi=300)
     plt.close(fig)

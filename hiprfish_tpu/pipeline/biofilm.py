@@ -119,11 +119,15 @@ def measure_biofilm_images_2d(sample: str, clf: SpectralClassifier,
                               image_stack=None,
                               cfg: SegmentationConfig = SegmentationConfig(),
                               max_cells: int = 4096,
-                              save_png: bool = True) -> pd.DataFrame:
+                              save_png: bool = True,
+                              pixel_um: float = None) -> pd.DataFrame:
     """Full biofilm 2D FOV analysis; returns the cell_information table.
 
     If ``image_stack`` is None the per-laser files '{sample}_<laser>.czi/npy'
-    are loaded.
+    are loaded. ``pixel_um`` sets the identification figures' scale bar;
+    when None it is read from the CZI Scaling metadata if the inputs are
+    CZIs, falling back to the reference's hard-coded 0.0675 µm
+    (biofilm_analysis.py:245,260).
     """
     from hiprfish_tpu.config import SEVEN_BIT
     from hiprfish_tpu.io import images as iio
@@ -137,6 +141,16 @@ def measure_biofilm_images_2d(sample: str, clf: SpectralClassifier,
             if not hits:
                 raise FileNotFoundError(f"{sample}_{laser}.(czi|npy)")
             image_stack.append(iio.load_image(hits[0]))
+            if pixel_um is None and hits[0].endswith(".czi"):
+                from hiprfish_tpu.io import czi as _czi
+
+                try:
+                    with _czi.CziFile(hits[0]) as cf:
+                        pixel_um = cf.pixel_size_um
+                except (ValueError, OSError, AttributeError):
+                    pixel_um = None
+    if pixel_um is None:
+        pixel_um = 0.0675
 
     res = segment2d.segment_lpcv(image_stack, None, cfg, max_cells, "biofilm")
     n = int(res.n_cells)
@@ -201,9 +215,11 @@ def measure_biofilm_images_2d(sample: str, clf: SpectralClassifier,
     ident_filtered[np.asarray(res.epithelial) & (seg > 0)] = [0.5, 0.5, 0.5]
     np.save(f"{sample}_identification_filtered.npy", ident_filtered)
     if save_png:
-        outputs._save_image_png(ident, f"{sample}_identification.png")
+        outputs._save_image_png(ident, f"{sample}_identification.png",
+                                pixel_um=pixel_um, framed=True)
         outputs._save_image_png(ident_filtered,
-                                f"{sample}_identification_filtered.png")
+                                f"{sample}_identification_filtered.png",
+                                pixel_um=pixel_um, framed=True)
 
     # Spatial adjacency matrices over the adjacency segmentation.
     pairs = adjacency_label_pairs(np.asarray(res.adjacency))

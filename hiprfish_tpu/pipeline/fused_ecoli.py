@@ -39,9 +39,18 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     named stage and return a scalar checksum of that stage's output —
     consecutive prefix timings attribute IN-PROGRAM cost (including layout/
     fusion effects stage-isolated timing can't see). Empty = full program.
+
+    Attribution caveat: each truncated prefix pays a full-resolution
+    checksum reduction the full program never runs (a strided-slice sum
+    would be cheaper but lets XLA dead-code-eliminate unread pixels of a
+    fused elementwise stage, which corrupts the timing), and truncation
+    itself changes what XLA fuses — so deltas of a few ms are noise-level
+    and can even come out slightly negative. Use for coarse attribution.
     """
 
     def _ck(x):
+        # Full-tensor reduction on purpose; see the attribution caveat
+        # in the docstring.
         return jnp.sum(x.astype(jnp.float32))
 
     projections = [jnp.max(img, axis=2) for img in stack]

@@ -345,3 +345,52 @@ def test_czi_truncated_subblock_data(tmp_path, rng):
         fh.write(blob[:len(blob) - 200])
     with pytest.raises(_CLEAN_ERRORS):
         _read_all(path)
+
+
+def test_pixel_size_um_from_zeiss_scaling_xml():
+    xml = ("<ImageDocument><Metadata><Scaling><Items>"
+           "<Distance Id=\"X\"><Value>6.75e-08</Value></Distance>"
+           "<Distance Id=\"Y\"><Value>6.75e-08</Value></Distance>"
+           "</Items></Scaling></Metadata></ImageDocument>")
+    assert abs(czi.pixel_size_um(xml) - 0.0675) < 1e-12
+    assert czi.pixel_size_um("") is None
+    assert czi.pixel_size_um("<ImageDocument/>") is None
+    assert czi.pixel_size_um("<not xml") is None
+    # Value present but unparseable / non-positive -> None, not a crash.
+    assert czi.pixel_size_um(
+        "<a><Distance Id=\"X\"><Value>zero</Value></Distance></a>") is None
+    assert czi.pixel_size_um(
+        "<a><Distance Id=\"X\"><Value>-1</Value></Distance></a>") is None
+
+
+def test_czi_pixel_size_property(tmp_path, rng):
+    xml = ("<ImageDocument><Scaling><Items><Distance Id=\"X\">"
+           "<Value>1.3e-07</Value></Distance></Items></Scaling>"
+           "</ImageDocument>")
+    path = str(tmp_path / "scaled.czi")
+    czi.write_czi(path, rng.rand(16, 16, 2).astype(np.float32),
+                  metadata_xml=xml)
+    with czi.CziFile(path) as f:
+        assert abs(f.pixel_size_um - 0.13) < 1e-12
+
+
+def test_identification_png_scale_bar(tmp_path, rng):
+    """Figure writers draw the reference's physical scale bar
+    (biofilm_analysis.py:245-261): bar present in the lower-right,
+    white bar pixels on the identification render."""
+    seg = np.zeros((200, 200), np.int32)
+    seg[20:60, 20:80] = 1
+    sample = str(tmp_path / "fov")
+    outputs.save_identification_png(seg, sample, pixel_um=0.0675)
+    outputs.save_segmentation(seg, sample, pixel_um=0.0675)
+    from PIL import Image
+
+    for name in ("_identification.png", "_seg.png"):
+        img = np.asarray(Image.open(sample + name).convert("RGB"))
+        h, w = img.shape[:2]
+        corner = img[int(h * 0.85):, int(w * 0.55):]
+        assert (corner == 255).all(axis=-1).sum() > 50, name
+    # nice-length rule: 1/2/5 ladder, <= 28% of field width
+    assert outputs._nice_bar_um(200 * 0.0675) == 2.0
+    assert outputs._nice_bar_um(2000 * 0.0675) == 20.0
+    assert outputs._nice_bar_um(0.0) == 1.0

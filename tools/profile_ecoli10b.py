@@ -34,7 +34,10 @@ def main():
                     help="time cumulative in-program prefixes of the fused "
                          "engine (stop_after=...) instead of isolated "
                          "stages — deltas attribute in-program cost "
-                         "including layout/fusion effects")
+                         "including layout/fusion effects. Each prefix "
+                         "pays a full-tensor checksum the full program "
+                         "doesn't, so few-ms deltas are noise-level and "
+                         "can be slightly negative")
     args = ap.parse_args()
 
     import jax
@@ -75,10 +78,14 @@ def main():
     if args.prefix:
         names = ["register", "kmeans", "opening", "ccl", "depth", "dhist",
                  "markers", "watershed", "eroded", "stats", ""]
+        all_names = list(names)
         if os.environ.get("HIPRFISH_PREFIX_STAGES"):
             sel = os.environ["HIPRFISH_PREFIX_STAGES"].split(",")
             names = [n for n in names if n in sel or (n == "" and "full" in sel)]
-        prev = 0.0
+        # A delta is only meaningful when the immediately preceding prefix
+        # in the canonical list was also timed; otherwise it would silently
+        # aggregate the skipped stages.
+        prev, prev_name = 0.0, None
         for nm in names:
             if nm == "":
                 fn = lambda st: fused_ecoli.segment_ecoli_device(
@@ -88,9 +95,12 @@ def main():
                     st, cfg, max_cells, _nm))
             t, _ = device_time_ms(fn, stack, n=3, reps=3, warmup=1)
             label = nm or "FULL segment_ecoli_device"
-            print(f"{label:<28} cum {t:8.1f} ms   delta {t - prev:8.1f} ms",
-                  flush=True)
-            prev = t
+            idx = all_names.index(nm)
+            contiguous = (idx == 0) or (prev_name == all_names[idx - 1])
+            delta = (f"delta {t - prev:8.1f} ms" if contiguous
+                     else f"delta {t - prev:8.1f} ms (spans skipped stages)")
+            print(f"{label:<28} cum {t:8.1f} ms   {delta}", flush=True)
+            prev, prev_name = t, nm
         return
 
 
