@@ -38,6 +38,62 @@ def apply_compile_cache_env() -> None:
         pass
 
 
+# One id shared by bench.py and every CLI so they all hit the same
+# persistent-cache entries. (Historical string: bench pinned it first.)
+DEFAULT_AXON_SESSION = "hiprfish-bench-v1"
+
+
+def pin_axon_session_inprocess() -> bool:
+    """Re-pin the tunneled-TPU backend's compile-cache session id IN
+    PROCESS, before first backend use.
+
+    The deployment's boot hook (sitecustomize) registers the axon PJRT
+    plugin with a fresh ``uuid4`` ``session_id`` per interpreter, and that
+    id keys every persistent compile-cache entry — so two identical CLI
+    runs never share a compile and every fresh process pays the full
+    ~30-50 s of XLA compiles (measured round 3). Registration happens
+    before any user code runs, but the CLIENT is created lazily on first
+    device use: the options dict lives in the ``functools.partial`` that
+    ``jax._src.xla_bridge.register_plugin`` stored, and mutating it
+    before first use changes what the client (and the cache key) sees.
+
+    Pins to ``HIPRFISH_AXON_SESSION`` (default DEFAULT_AXON_SESSION;
+    ``0`` disables). Returns True when a pin was applied. No-op when the
+    axon plugin isn't registered (normal CPU/TPU platforms), when the
+    backend is already initialized (too late — pinning then would lie
+    about the key), or when disabled.
+
+    Caveat: the session id also keys the terminal's session lock, so
+    CONCURRENT processes sharing one id share a terminal session. For a
+    parallel fan-out give each process its own id (or ``0``); for the
+    sequential per-stage CLI pattern (the reference's Snakemake mode,
+    ecoli/Snakefile:63-114) the shared default is the right thing.
+    """
+    sid = os.environ.get("HIPRFISH_AXON_SESSION", DEFAULT_AXON_SESSION)
+    if not sid or sid == "0":
+        return False
+    try:
+        from jax._src import xla_bridge as xb
+    except ImportError:
+        return False
+    reg = xb._backend_factories.get("axon")
+    if reg is None:
+        return False
+    if getattr(xb, "_backends", None) and "axon" in xb._backends:
+        import warnings
+
+        warnings.warn(
+            "hiprfish_tpu: axon backend already initialized; cannot pin "
+            "the compile-cache session id in this process")
+        return False
+    factory = getattr(reg, "factory", reg)
+    options = getattr(factory, "keywords", {}).get("options")
+    if not isinstance(options, dict) or "session_id" not in options:
+        return False
+    options["session_id"] = sid
+    return True
+
+
 def maybe_register_pinned_axon_session() -> None:
     """Opt-in fix for the per-process compile-cache salt on the tunneled
     TPU platform: the boot hook registers the axon backend with a fresh
@@ -69,12 +125,16 @@ def maybe_register_pinned_axon_session() -> None:
 
 
 def apply_platform_env() -> None:
-    # Every CLI entry point routes through here, so a launcher that fans
-    # samples out as processes (the reference's Snakemake pattern,
-    # ecoli/Snakefile:63-114) can share one compile cache by exporting
-    # HIPRFISH_AXON_MANUAL_SESSION and clearing PALLAS_AXON_POOL_IPS —
-    # a no-op otherwise.
+    # Every CLI entry point routes through here. On the tunneled TPU
+    # platform the session id is re-pinned in process by default
+    # (pin_axon_session_inprocess) so sequential per-stage CLI processes
+    # — the reference's Snakemake pattern, ecoli/Snakefile:63-114 —
+    # share one persistent compile cache; HIPRFISH_AXON_SESSION=0 opts
+    # out. The HIPRFISH_AXON_MANUAL_SESSION + cleared
+    # PALLAS_AXON_POOL_IPS route (full re-registration) still works for
+    # launchers that skip the boot hook.
     maybe_register_pinned_axon_session()
+    pin_axon_session_inprocess()
     apply_compile_cache_env()
     spec = os.environ.get("HIPRFISH_PLATFORM")
     if not spec:

@@ -215,3 +215,40 @@ def test_plot_representative_cell_spectra(tmp_path, rng):
     assert set(stats) == {(e, t) for e in ("A", "B") for t in taxids}
     mean_a_564 = stats[("A", 564)][0]
     np.testing.assert_allclose(mean_a_564, base[564], atol=0.02)
+
+
+def test_pin_axon_session_inprocess(monkeypatch):
+    """The in-process session pin mutates the registered plugin factory's
+    options dict (the boot hook salts session_id per process, which keys
+    every persistent compile-cache entry), and respects the opt-out."""
+    import functools
+    import types
+
+    from jax._src import xla_bridge as xb
+
+    from hiprfish_tpu.utils import platform as plat
+
+    # No axon factory (normal CPU platform) -> no-op.
+    monkeypatch.delenv("HIPRFISH_AXON_SESSION", raising=False)
+    if "axon" not in xb._backend_factories:
+        assert plat.pin_axon_session_inprocess() is False
+
+    # Fake a registered-but-uninitialized axon plugin.
+    opts = {"session_id": "uuid-salt", "topology": "v5e:1x1x1"}
+    fake = types.SimpleNamespace(
+        factory=functools.partial(lambda *a, **k: None, "axon",
+                                  options=opts))
+    monkeypatch.setitem(xb._backend_factories, "axon", fake)
+    had_backend = "axon" in getattr(xb, "_backends", {})
+    assert not had_backend  # CPU test env never initializes axon
+
+    assert plat.pin_axon_session_inprocess() is True
+    assert opts["session_id"] == plat.DEFAULT_AXON_SESSION
+
+    monkeypatch.setenv("HIPRFISH_AXON_SESSION", "my-own-id")
+    assert plat.pin_axon_session_inprocess() is True
+    assert opts["session_id"] == "my-own-id"
+
+    monkeypatch.setenv("HIPRFISH_AXON_SESSION", "0")
+    assert plat.pin_axon_session_inprocess() is False
+    assert opts["session_id"] == "my-own-id"
