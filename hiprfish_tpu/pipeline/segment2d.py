@@ -104,6 +104,43 @@ def _component_small_mask(mask, threshold: jax.Array):
     return small, lbl
 
 
+def erosion_seed_markers(cell_sm, cfg: SegmentationConfig):
+    """Iterative erosion seeding (spectral_image_measurement.py:101-113):
+    components below seed_area_max become watershed seeds, the rest are
+    eroded and re-examined until the mask is exhausted. Returns sequential
+    int32 markers.
+
+    The per-round sub-``seed_min_size`` removal runs at connectivity=1
+    (skimage's remove_small_objects default), and that is load-bearing:
+    the round's removal deletes diagonal-only bridge fragments between the
+    lobes of a touching cell pair, which is what lets the next round's
+    8-connected component pass see the lobes separately and seed them
+    individually. With 8-connected removal the bridge survives, the pair
+    shrinks below seed_area_max as ONE component, and the two cells merge
+    into a single watershed basin (diagnosed via DIAG_PARITY_10B.json: all
+    10 round-3 10-bit parity disagreements were exactly such merged
+    doublets)."""
+    mask = cell_sm
+    seeds = jnp.zeros_like(cell_sm)
+    thr = jnp.int32(cfg.seed_area_max)
+    for _ in range(cfg.max_erosion_iters):
+        if not bool(jnp.any(mask)):
+            break
+        small, _ = _component_small_mask(mask, thr)
+        seeds = seeds | small
+        remaining = mask & ~small
+        eroded = morph.binary_erosion(remaining)
+        mask = lab.remove_small_objects(eroded, cfg.seed_min_size, 1)
+
+    # The final sub-seed_min_size filter acts on the 8-connected components
+    # of the accumulated seed mask (the reference removes whole labels of an
+    # 8-connected labeling, spectral_image_measurement.py:111-112).
+    seed_mask = lab.remove_small_objects(seeds, cfg.seed_min_size, 2)
+    markers, _ = lab.relabel_sequential(
+        lab.label(seed_mask, 2, cfg.ccl_max_iters))
+    return markers
+
+
 # ---------------------------------------------------------------------------
 # E. coli engine
 # ---------------------------------------------------------------------------
@@ -142,24 +179,11 @@ def segment_ecoli(
                                              cfg.kmeans_iters)
     interior = morph.remove_small_holes(interior, 64)
     interior = morph.binary_opening(interior)
-    cell_sm = lab.remove_small_objects(interior, 50)
+    # connectivity=1: skimage's remove_small_objects default, which the
+    # reference relies on throughout (spectral_image_measurement.py:98).
+    cell_sm = lab.remove_small_objects(interior, 50, 1)
 
-    # Iterative erosion seeding: components below seed_area_max become
-    # watershed seeds, the rest are eroded and re-examined until exhausted.
-    mask = cell_sm
-    seeds = jnp.zeros_like(cell_sm)
-    thr = jnp.int32(cfg.seed_area_max)
-    for _ in range(cfg.max_erosion_iters):
-        if not bool(jnp.any(mask)):
-            break
-        small, _ = _component_small_mask(mask, thr)
-        seeds = seeds | small
-        remaining = mask & ~small
-        eroded = morph.binary_erosion(remaining)
-        mask = lab.remove_small_objects(eroded, cfg.seed_min_size, 2)
-
-    seed_mask = lab.remove_small_objects(seeds, cfg.seed_min_size, 2)
-    markers, _ = lab.relabel_sequential(lab.label(seed_mask, 2, cfg.ccl_max_iters))
+    markers = erosion_seed_markers(cell_sm, cfg)
 
     seg = ws.watershed(-image_cn, markers, fg, 1, cfg.watershed_max_iters)
     seg = lab.remove_small_labels(seg, cfg.cell_min_size)
@@ -256,12 +280,12 @@ def segment_lpcv_from_registered(
     # through ~fg implies it through the superset ~core) — the second
     # border flood was a no-op
     seed_mask = morph.binary_fill_holes(
-        lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 2)
+        lab.remove_small_objects(morph.binary_opening(fg), cfg.lp_seed_min_size, 1)
     )
 
     if biofilm:
         watershed_surface = -(denoised * bkg)
-        seed_mask = lab.remove_small_objects(seed_mask & bkg, cfg.lp_seed_min_size, 2)
+        seed_mask = lab.remove_small_objects(seed_mask & bkg, cfg.lp_seed_min_size, 1)
         flood_mask = fg & bkg
     else:
         watershed_surface = -(enhanced * bkg)
@@ -304,7 +328,7 @@ def _epithelial_area(bkg_mask, fov_sum, cfg: SegmentationConfig):
     non-background side is flooded and everything but the largest basin is
     flagged as epithelial area."""
     image_bkg = ~bkg_mask
-    image_bkg = lab.remove_small_objects(image_bkg, cfg.bkg_min_size, 2)
+    image_bkg = lab.remove_small_objects(image_bkg, cfg.bkg_min_size, 1)
     image_bkg = morph.binary_fill_holes(image_bkg)
     closed = morph.binary_closing_disk(image_bkg, cfg.epithelial_disk_radius)
     objs = lab.label(closed, 2, cfg.ccl_max_iters)

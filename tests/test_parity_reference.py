@@ -20,6 +20,7 @@ from hiprfish_tpu.utils import synthetic
 
 from ref_oracle import classify as rc
 from ref_oracle import harness
+from ref_oracle import skim
 from ref_oracle.lp2d import line_profile_2d_v2 as lp_oracle
 
 CODES_7B = [1, 9, 65, 127, 34, 88, 5, 96, 18, 73, 22, 41, 100, 55, 3, 77]
@@ -193,3 +194,39 @@ def test_end_to_end_barcode_parity_multispecies(tmp_path):
     assert c["same_spectra_agreement"] >= 0.995, c
     assert c["e2e_agreement"] >= 0.995, c
     assert c["tpu_truth_accuracy"] >= c["ref_truth_accuracy"] - 0.005, c
+def test_erosion_seeding_splits_touching_doublet():
+    """Regression for the round-3 parity defect (DIAG_PARITY_10B.json): a
+    touching cell pair whose eroded lobes stay bridged by diagonal-only
+    fragments must seed as TWO markers, as the reference's loop does via
+    its connectivity-1 in-loop remove_small_objects
+    (spectral_image_measurement.py:101-112). The fixture is the real
+    cell_sm component of the fov-0 merged pair."""
+    import os
+    from hiprfish_tpu.config import SegmentationConfig
+    from hiprfish_tpu.pipeline import segment2d
+
+    cell_sm = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                   "doublet_cell_sm.npy"))
+    assert cell_sm.sum() == 786
+    markers = np.asarray(
+        segment2d.erosion_seed_markers(cell_sm, SegmentationConfig()))
+    n_ours = int(markers.max())
+
+    # the oracle's loop on the same mask
+    dist_lab = skim.label(cell_sm.copy())
+    dist_be = np.zeros(dist_lab.shape)
+    while dist_lab.max() > 0:
+        sizes = np.bincount(dist_lab.ravel())
+        small = sizes < 600
+        small[0] = False
+        sm = small[dist_lab]
+        dist_be[sm] = 1
+        dist_lab[sm] = 0
+        ero = skim.binary_erosion(dist_lab > 0)
+        dist_lab = skim.label(skim.remove_small_objects(ero, 10))
+    dist_final = skim.label(
+        skim.remove_small_objects(skim.label(dist_be.astype(int)), 10))
+    n_oracle = int(dist_final.max())
+
+    assert n_oracle == 2
+    assert n_ours == n_oracle
