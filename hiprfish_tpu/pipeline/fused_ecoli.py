@@ -117,9 +117,14 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     # survives k erosions iff depth(p) > k, so the per-iteration "component
     # area after k erosions" is a (component, depth) histogram. A component
     # becomes a seed at the first k where its surviving area drops below
-    # seed_area_max, and its seed pixels are {depth > k}. Equivalent to the
-    # reference's loop except when erosion splits a component (rare for
-    # convex cells; segment2d.segment_ecoli keeps exact loop semantics).
+    # seed_area_max, and its seed pixels are {depth > k}. When erosion
+    # splits a component the lobes still emit separate markers: the
+    # superlevel set {depth > k} is disconnected there, and the
+    # connectivity-1 cleanup below deletes the diagonal bridge fragments
+    # the reference's per-round removal would have deleted. Residual
+    # divergence vs the loop (segment2d.erosion_seed_markers keeps exact
+    # semantics): lobes freeze at the pair's common k instead of each
+    # lobe's own k, so marker SHAPES can differ by an erosion round.
     kmax = cfg.max_erosion_iters
     # fori_loop, NOT a Python unroll: the 39 trace-unrolled erosion steps
     # were 31.8 s of the engine's 46.8 s XLA compile (measured; the rolled
@@ -152,6 +157,23 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
     ktbl = jnp.where(valid_seed, k_seed, kmax + 1).astype(jnp.float32)
     k_pix = segstats.label_lookup(comp0, ktbl, width=256)
     seed_mask = (depth.astype(jnp.float32) > k_pix) & (comp0 > 0)
+    # Connectivity-1 sub-seed_min_size removal on the final seed mask — the
+    # one observable effect of the reference's per-round
+    # remove_small_objects(10) at skimage's default connectivity
+    # (spectral_image_measurement.py:107): diagonal-only bridge fragments
+    # between the eroded lobes of a touching cell pair are deleted, so the
+    # lobes label as separate markers below. Without it the whole pair
+    # floods as one basin (the round-3 parity defect — all 10 10-bit
+    # disagreements were such merged doublets; see
+    # segment2d.erosion_seed_markers and DIAG_PARITY_10B.json).
+    lbl4, _ = segstats.rank_labels(
+        lab.label(seed_mask, 1, cfg.ccl_max_iters, cfg.scan_cap),
+        1, cfg.ccl_max_iters, cfg.scan_cap)
+    lbl4 = jnp.minimum(lbl4, pre_segments - 1)
+    st4 = segstats.label_stats(lbl4, None, pre_segments, width=256)
+    keep4 = jnp.where(st4.counts >= cfg.seed_min_size, 1.0, 0.0).at[0].set(0.0)
+    seed_mask = seed_mask & (segstats.label_lookup(lbl4, keep4,
+                                                   width=256) > 0.5)
     markers, _ = segstats.rank_labels(
         lab.label(seed_mask, 2, cfg.ccl_max_iters, cfg.scan_cap), 2,
         cfg.ccl_max_iters, cfg.scan_cap)
