@@ -1205,6 +1205,50 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
     return sums / jnp.maximum(counts, 1.0)[:, None]
 
 
+def measure_volume_zsharded(seg, volume_cm, mesh, axis: str = "fov",
+                            max_cells: int = 4096):
+    """Multi-chip per-cell spectral measurement: the labeled volume and its
+    channel data shard over ``mesh.shape[axis]`` devices as z-slabs; each
+    device accumulates per-label channel sums/counts over its local slab
+    (global label ids are slab-invariant, so partial sums are additive) and
+    one ``psum`` over the axis replicates the totals. The multi-chip
+    analogue of ``measure_volume_streamed`` — the scale-out axis the
+    reference covers only with Snakemake process fan-out
+    (ecoli/Snakefile:63-114; its in-script 3D measurement path is broken,
+    biofilm_analysis.py:1359-1364).
+
+    Args:
+      seg: (X, Y, Z) int32 labels (0 = background).
+      volume_cm: (C, Z, X, Y) channels-major intensity volume — channels
+        major so no slab pads its minor dim to 128 lanes (see
+        ``_accumulate_chunk_cm``).
+      mesh: jax Mesh containing ``axis``; Z must divide by its size.
+    Returns (max_cells, C) per-label mean spectra (row 0 = background).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    zdim = seg.shape[2]
+    if zdim % n:
+        raise ValueError(f"Z={zdim} must divide by mesh[{axis!r}]={n}")
+    c = volume_cm.shape[0]
+
+    def _local(seg_l, vol_l):
+        idx = jnp.transpose(seg_l, (2, 0, 1)).reshape(-1)
+        sums_cm = jnp.zeros((c, max_cells), jnp.float32).at[:, idx].add(
+            vol_l.reshape(c, -1).astype(jnp.float32))
+        counts = jnp.zeros((max_cells,), jnp.float32).at[idx].add(1.0)
+        sums_cm = jax.lax.psum(sums_cm, axis)
+        counts = jax.lax.psum(counts, axis)
+        return (sums_cm / jnp.maximum(counts, 1.0)[None, :]).T
+
+    fn = shard_map(_local, mesh=mesh,
+                   in_specs=(P(None, None, axis), P(None, axis, None, None)),
+                   out_specs=P(None, None))
+    return jax.jit(fn)(jnp.asarray(seg), jnp.asarray(volume_cm))
+
+
 # ---------------------------------------------------------------------------
 # Measurement front-ends (CLI glue)
 # ---------------------------------------------------------------------------
