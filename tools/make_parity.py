@@ -54,6 +54,7 @@ from hiprfish_tpu.utils import synthetic  # noqa: E402
 
 from ref_oracle import classify as rc  # noqa: E402
 from ref_oracle import harness  # noqa: E402
+from ref_oracle import pipelines as rp  # noqa: E402
 
 CODES_7B = [1, 9, 65, 127, 34, 88, 5, 96, 18, 73, 22, 41, 100, 55, 3, 77]
 CODES_10B = [5, 37, 515, 1023, 96, 640, 17, 260, 770, 129, 33, 514, 68,
@@ -89,16 +90,32 @@ def wilson_ci(successes: int, n: int, z: float = 1.96):
     return (float(center - half), float(center + half))
 
 
-def fov_scene(layout, codes, i, shifts, cell_axes, spacing):
-    """Scene i of the family sweep: 0-2 nominal, 3 high-noise, 4
-    mis-registered near the clamp limit."""
+# Near-clamp mis-registration (±8-12 px). The ecoli/10-bit oracle handles
+# it (the reference's ±15 px clamp path, spectral_image_measurement.py:54-57,
+# r03: every scene contributed cells). The multispecies reference does NOT:
+# its registration has no overlap mask, so the shift-zeroed strips put a
+# point mass at 0 in the LP-CV enhanced histogram, sklearn KMeans(2)'s
+# 2-cluster optimum flips to {strips | speckle+cells} (~49% foreground),
+# fill_holes solidifies that into ONE watershed seed and the whole scene
+# collapses to a single region (measured: oracle n_cells=1 at these shifts;
+# the transcription is faithful — the reference itself would do this).
+NEAR_CLAMP = [(0, 0), (11, -9), (-12, 7), (8, 12), (-10, -11)]
+# In-envelope stage drift for the multispecies parity scene: 3x the nominal
+# drift, largest magnitude the oracle's KMeans survives with margin
+# (flip probe: sane at these, collapsed at NEAR_CLAMP).
+MISREG_MODERATE = [(0, 0), (6, -5), (-5, 4), (4, 6), (-5, -6)]
+
+
+def fov_scene(layout, codes, i, shifts, cell_axes, spacing,
+              misreg=NEAR_CLAMP):
+    """Scene i of the family sweep: 3 high-noise, 4 mis-registered,
+    everything else nominal noise + small stage drift."""
     noise = 0.01
     fov_shifts = list(shifts)
     if i == 3:
         noise = 0.05
     elif i == 4:
-        big = [(0, 0), (11, -9), (-12, 7), (8, 12), (-10, -11)]
-        fov_shifts = big[: len(shifts)]
+        fov_shifts = misreg[: len(shifts)]
     return synthetic.make_fov(
         layout, codes, shape=(FOV_SIZE, FOV_SIZE), seed=100 + i,
         laser_shifts=fov_shifts, cell_axes=cell_axes, noise=noise,
@@ -106,7 +123,7 @@ def fov_scene(layout, codes, i, shifts, cell_axes, spacing):
 
 
 def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
-               spacing):
+               spacing, misreg=NEAR_CLAMP):
     codes = [base_codes[i % len(base_codes)] for i in range(GRID * GRID)]
     # Agreement scores the TPU inference stack on the oracle's own fitted
     # artifacts (harness.TpuOracleTwin) — two independently TRAINED
@@ -117,7 +134,7 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
     seg_metrics, clf_metrics, ious_all = [], [], []
     agree_e2e = agree_ss = n_e2e = n_ss = 0
     for i in range(N_FOVS):
-        fov = fov_scene(layout, codes, i, shifts, cell_axes, spacing)
+        fov = fov_scene(layout, codes, i, shifts, cell_axes, spacing, misreg)
         t0 = time.time()
         m, bundle = harness.segmentation_parity(
             fov, "ecoli" if name == "ecoli" else "multispecies",
@@ -169,8 +186,52 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
     }
 
 
+def robustness_near_clamp_ms(layout, base_codes, shifts, cell_axes, tpu_clf,
+                             spacing):
+    """The OLD r03 multispecies scene 4 (near-clamp ±8-12 px shifts), kept as
+    robustness-only evidence: the reference/oracle collapses on it (see
+    NEAR_CLAMP note), so it cannot anchor parity — this records that the TPU
+    pipeline still recovers the planted cells there, plus the oracle's
+    collapsed cell count as the comparison point."""
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.config import SegmentationConfig
+    from hiprfish_tpu.pipeline import measure, segment2d
+
+    codes = [base_codes[i % len(base_codes)] for i in range(GRID * GRID)]
+    fov = fov_scene(layout, codes, 4, shifts, cell_axes, spacing, NEAR_CLAMP)
+    res = segment2d.segment_lpcv(fov["stack"], None, SegmentationConfig(),
+                                 MAX_CELLS)
+    seg_tpu = np.asarray(res.segmentation)
+    n_tpu = int(res.n_cells)
+    _, norm_tpu = measure.measure_fov(res.segmentation, res.registered,
+                                      n_tpu, MAX_CELLS)
+    truth = harness.truth_code_per_label(seg_tpu, fov["truth_labels"], codes)
+    calls, _, _, _ = tpu_clf.classify(jnp.asarray(np.asarray(norm_tpu)))
+    calls = np.asarray([str(c).split("_")[0] for c in calls])
+    nbits = len(calls[0]) if len(calls) else 7
+    fmt = "0{}b".format(nbits)
+    ids = sorted(truth)
+    acc = float(np.mean([calls[lab - 1] == format(truth[lab], fmt)
+                         for lab in ids])) if ids else 0.0
+    _, reg_ref, _, seg_ref = rp.generate_2d_segmentation_multispecies(
+        fov["stack"])
+    del reg_ref
+    return {
+        "scene": "near_clamp_misregistered (r03 scene 4)",
+        "laser_shifts": NEAR_CLAMP[:4],
+        "planted_cells": GRID * GRID,
+        "tpu_cells": n_tpu,
+        "tpu_truth_accuracy": acc,
+        "oracle_cells": int(len(np.unique(seg_ref)) - 1),
+        "note": ("reference-equivalent oracle collapses on this scene "
+                 "(strip-driven KMeans flip; see NEAR_CLAMP comment), so it "
+                 "is excluded from the parity denominators above"),
+    }
+
+
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r03.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r04.json"
     t_start = time.time()
 
     tmp7 = tempfile.mkdtemp()
@@ -200,20 +261,28 @@ def main():
             "semantics morphology/watershed, pyx-derived stencil; UMAP+SVC "
             "stage replaced by exact kNN under the reference's own gated "
             "metric — umap-learn/skimage/numba/Cython are not installed "
-            "and may not be installed here). Per family: 5 FOVs x 2000^2 "
-            "px x 441 densely packed touching cells (incl. one high-noise "
-            "and one near-clamp mis-registered scene). Budget: barcode "
-            "agreement >= 99.5% (BASELINE.md), now resolvable: the Wilson "
-            "95% CI half-width at N~2000 is ~0.4%."),
+            "and may not be installed here). Per family: N_FOVS FOVs x "
+            "2000^2 px x 441 densely packed touching cells (incl. one "
+            "high-noise and one mis-registered scene; the ecoli family's "
+            "mis-registration is near the reference's +/-15 px clamp, the "
+            "multispecies family's is the largest drift its reference "
+            "pipeline survives — see robustness_near_clamp_ms). Budget: "
+            "barcode agreement >= 99.5% with the Wilson-95 LOWER BOUND "
+            "also clearing the budget at N >= 4500."),
         # spacing 27 px vs 24/28 px cell extents: neighboring cells touch
+        # ms scene 4 runs at MISREG_MODERATE (in the reference's envelope);
+        # ecoli scene 4 keeps NEAR_CLAMP (its oracle handles the clamp path).
         "multispecies_7b": run_family(
             "multispecies", SEVEN_BIT, CODES_7B,
             [(0, 0), (1, 2), (-1, 0), (2, -2)], (7.0, 12.0),
-            ref7, tpu7, spacing=27.0),
+            ref7, tpu7, spacing=27.0, misreg=MISREG_MODERATE),
         "ecoli_10b": run_family(
             "ecoli", TEN_BIT, CODES_10B,
             [(0, 0), (2, -1), (0, 3), (-2, 0), (1, 1)], (9.0, 14.0),
-            ref10, tpu10, spacing=31.0),
+            ref10, tpu10, spacing=31.0, misreg=NEAR_CLAMP),
+        "robustness_near_clamp_ms": robustness_near_clamp_ms(
+            SEVEN_BIT, CODES_7B, [(0, 0), (1, 2), (-1, 0), (2, -2)],
+            (7.0, 12.0), tpu7, spacing=27.0),
         "runtime_s": None,
     }
     budget = 0.995
@@ -236,11 +305,18 @@ def main():
         and result["ecoli_10b"]["same_spectra_total"]["rate"] >= budget
         and _truth_gap_ok(result["multispecies_7b"])
         and _truth_gap_ok(result["ecoli_10b"]))
+    # The round-4 bar: the budget must hold at the Wilson-95 lower bound,
+    # i.e. the disagreement rate is STATISTICALLY below 0.5%, not just the
+    # point estimate (VERDICT r03 weakness 1).
+    result["pass_wilson"] = bool(
+        result["pass"]
+        and result["multispecies_7b"]["e2e_total"]["wilson_95ci"][0] >= budget
+        and result["ecoli_10b"]["e2e_total"]["wilson_95ci"][0] >= budget)
     result["runtime_s"] = round(time.time() - t_start, 1)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items()
-                      if k in ("pass", "runtime_s")}))
+                      if k in ("pass", "pass_wilson", "runtime_s")}))
     print(f"wrote {out_path}", file=sys.stderr)
 
 
