@@ -198,3 +198,101 @@ def test_decoder_fuzz_never_crashes():
         except ValueError:
             err += 1
     assert ok + err == len(streams)
+
+
+# ---------------------------------------------------------------------------
+# Parameter-corner hardening (round-4): the round-trip tests above prove
+# self-consistency per config; these sweep the full encoder parameter grid
+# and assert structural validity properties a consistent-but-wrong codec
+# would still violate (DC preservation, tile-seam continuity).
+
+
+def test_lossy_corner_sweep_structural():
+    """Every (dtype x overlap x tiling x quantizer) corner must decode with
+    the right shape/dtype, preserve the DC level (a band-assembly or
+    prediction defect shifts the mean), keep a sane PSNR, and stay monotone
+    in qp within each corner."""
+    rng = np.random.default_rng(11)
+    for dtype in (np.uint8, np.uint16):
+        img = _textured((80, 112), dtype, rng,
+                        noise=8 if dtype == np.uint8 else 600)
+        hi = float(np.iinfo(dtype).max)
+        span = float(img.max()) - float(img.min())
+        # qp is a raw T.832 quantizer step on the sample scale, so the
+        # grid scales with bit depth (step 20 on a 0-255 range is ~28 dB
+        # by construction, not a defect)
+        qps = (3, 8) if dtype == np.uint8 else (6, 20)
+        for overlap in (0, 1, 2):
+            for tiles in ((1, 1), (2, 2), (3, 2)):
+                mses = []
+                for qp in qps:
+                    enc = jxr.encode(img, qp=qp, overlap=overlap,
+                                     tiles=tiles)
+                    dec = jxr.decode(enc)
+                    assert dec.dtype == img.dtype
+                    assert dec.shape == img.shape
+                    err = dec.astype(np.float64) - img
+                    mses.append((err ** 2).mean())
+                    ctx = f"dtype={dtype} ov={overlap} t={tiles} qp={qp}"
+                    assert abs(err.mean()) < 0.02 * span + 1, ctx
+                    psnr = 10 * np.log10(hi ** 2 / max(mses[-1], 1e-9))
+                    assert psnr > 30.0, f"{ctx}: psnr={psnr:.1f}"
+                assert mses[0] <= mses[1] + 1e-9, \
+                    f"qp non-monotone at ov={overlap} t={tiles}"
+
+
+@pytest.mark.parametrize("overlap", [0, 1, 2])
+def test_tile_seam_continuity(overlap):
+    """Lossy decode of a smooth ramp must not jump at tile boundaries: a
+    mis-sequenced tile index, per-tile DC offset, or an overlap filter
+    wrongly run across (or not run up to) a tile edge shows up as a seam
+    discontinuity that in-tile quantization noise cannot explain. Lossless
+    round-trips CANNOT catch this class (encoder+decoder sharing the wrong
+    convention cancels out)."""
+    y, x = np.mgrid[:128, :192]
+    img = (8000 + 90.0 * x + 40.0 * y
+           + 500 * np.sin(x / 40.0)).astype(np.uint16)
+    enc = jxr.encode(img, qp=24, overlap=overlap, tiles=(3, 2))
+    dec = jxr.decode(enc).astype(np.int64)
+    dx = np.abs(np.diff(dec, axis=1))       # (128, 191), step x -> x+1
+    dy = np.abs(np.diff(dec, axis=0))
+    # tile grid (3 cols, 2 rows) on a 192x128 canvas -> seams after
+    # x=63|64 and x=127|128, y=63|64 (macroblock-aligned 64-px tiles)
+    seam_x = dx[:, [63, 127]].max()
+    seam_y = dy[[63], :].max()
+    interior_x = np.delete(dx, [63, 127], axis=1)
+    interior_y = np.delete(dy, [63], axis=0)
+    assert seam_x <= 3 * interior_x.max() + 4, \
+        f"x-seam jump {seam_x} vs interior max {interior_x.max()}"
+    assert seam_y <= 3 * interior_y.max() + 4, \
+        f"y-seam jump {seam_y} vs interior max {interior_y.max()}"
+
+
+def test_golden_fixtures_when_present():
+    """Bit-level validation against real-world encoders, armed the day a
+    jxrlib/imagecodecs environment exists: tools/make_jxr_golden.py writes
+    (stream, expected-pixels) pairs into tests/data/jxr_golden/, and this
+    test decodes every pair. Skips (not passes) while the directory is
+    empty so the gap stays visible in the test report."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pairs = sorted(glob.glob(os.path.join(here, "data", "jxr_golden",
+                                          "*.jxr")))
+    if not pairs:
+        pytest.skip("no golden JXR fixtures in this environment "
+                    "(see tools/make_jxr_golden.py)")
+    for p in pairs:
+        with open(p, "rb") as f:
+            raw = f.read()
+        expect = np.load(p[:-4] + ".npy")
+        dec = jxr.decode(raw)
+        lossless = os.path.basename(p).startswith("lossless_")
+        if lossless:
+            np.testing.assert_array_equal(dec, expect)
+        else:
+            hi = float(np.iinfo(expect.dtype).max)
+            mse = ((dec.astype(np.float64) - expect) ** 2).mean()
+            psnr = 10 * np.log10(hi ** 2 / max(mse, 1e-9))
+            assert psnr > 40.0, f"{p}: psnr vs jxrlib decode = {psnr:.1f}"

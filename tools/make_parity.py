@@ -159,7 +159,7 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
         "n_fovs": N_FOVS,
         "fov_size": FOV_SIZE,
         "cells_per_fov": GRID * GRID,
-        "scenes": {"nominal": list(range(min(3, N_FOVS))),
+        "scenes": {"nominal": [i for i in range(N_FOVS) if i not in (3, 4)],
                    "high_noise": [3] if N_FOVS > 3 else [],
                    "misregistered": [4] if N_FOVS > 4 else []},
         "total_cells_ref": total_cells,
