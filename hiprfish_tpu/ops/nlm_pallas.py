@@ -11,6 +11,17 @@ Same math as ops/denoise.denoise_nl_means (skimage fast-mode, sigma=0),
 including the symmetric-offset trick: each half-window offset o contributes
 both the +o term at p and the mirrored -o term (weights computed on an
 extended margin so mirror weights at p+o are available in-tile).
+
+Kernel shape (round-4 rework, cost-attributed on chip): the dy rows are
+processed in QUADS whose four e-planes ride one concatenated lane-dim
+box matmul, one sublane box roll-tree, and one exp per +-dx side — the
+per-offset dispatch overhead of many small dots/transcendentals was ~18%
+of the kernel (57.9 -> 47.5 ms contended A/B, bit-identical output).
+Rejected by the same A/B: incremental static rolls via loop carries (no
+gain — carry copies), dx shifts on the sublane axis (worse), batching
+the input rolls through concatenated planes (dynamic rotates are
+bandwidth-bound), 8-plane groups (saturated at 4), and Python-unrolled
+static dx shifts (Mosaic compile exceeds 19 min).
 """
 
 from __future__ import annotations
@@ -43,6 +54,7 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     copy.wait()
 
     ps = 2 * pr + 1
+    S = win.shape[0]
     winv = win[:, :]
     blk = (slice(halo_y, halo_y + bh), slice(halo_x, halo_x + bw))
 
@@ -50,6 +62,8 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
         """pltpu.roll with any-sign (possibly traced) shift."""
         n = a.shape[axis]
         if isinstance(s, int):
+            if s % n == 0:
+                return a
             s = s % n
         else:
             s = jax.lax.rem(jax.lax.rem(s, n) + n, n)
@@ -59,40 +73,53 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     # per-offset shifts are expressed as dynamic rotates (pltpu.roll handles
     # traced shift amounts) followed by static slices. The halo
     # (2*patch_distance + patch_radius) absorbs all rotate wrap-around.
-    # Separable patch box sum, CENTERED and CIRCULAR (wrap matches the
-    # rotate semantics): box along an axis == contraction with an (n, n)
-    # 0/1 circulant band, which runs on the MXU instead of the VPU's
-    # roll+add tree — the ~18 full-window VPU passes per offset were the
-    # largest per-offset cost (measured 2000^2: 33.6 -> 29.9 ms), and the
-    # MXU sits idle in this kernel otherwise. f32 operands keep it exact
-    # (bit-identical output to the roll tree on the bench fixture).
+    # Lane-dim patch box sum, CENTERED and CIRCULAR (wrap matches the
+    # rotate semantics): contraction with an (n, n) 0/1 circulant band,
+    # which runs on the MXU instead of the VPU's roll+add tree. f32
+    # operands keep it exact (bit-identical output to the roll tree on
+    # the bench fixture).
     def _band(n):
         ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         d = jax.lax.rem(ci - ri + n, n)
         return ((d <= pr) | (d >= n - pr)).astype(jnp.float32)
 
-    m_sub = _band(win.shape[0])
     m_lane = _band(win.shape[1])
 
-    def _box2_centered(e):
+    # Sublane-dim box as a STATIC roll tree (cheap single-pass shifts; the
+    # (S, S) sublane-contracting matmul measured ~2x the lane dot because
+    # the lhs-lane contraction forces an operand transpose). Greedy binary
+    # cover of the ps-tap window, then a centering roll: for ps = 7,
+    # R = P4 + roll(P2, -4) + roll(P1, -6), centered by +pr.
+    def _tree_sub(t):
+        pows = [t]                       # pows[i] sums 2^i consecutive rows
+        width = 1
+        while width * 2 <= ps:
+            pows.append(pows[-1] + _roll(pows[-1], -width, 0))
+            width *= 2
+        r = None
+        off = 0
+        for i_bit in range(len(pows) - 1, -1, -1):
+            w_bit = 1 << i_bit
+            if ps & w_bit:
+                part = _roll(pows[i_bit], -off, 0) if off else pows[i_bit]
+                r = part if r is None else r + part
+                off += w_bit
+        return _roll(r, pr, 0)
+
+    def _box2(e):
         t = jax.lax.dot_general(
             e, m_lane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return jax.lax.dot_general(
-            m_sub, t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        return _tree_sub(t)
 
-    def per_offset(dy, dx, wdy_neg, wdy_pos, carry):
-        """One (dy, dx) contribution; the dy-rolls of the window are hoisted
-        into the caller's dy loop (they were recomputed for all ~2 pd+1 dx
-        offsets sharing the same dy)."""
+    inv = -1.0 / (h2 * ps * ps)
+
+    def per_offset(dy, dx, neg_roll, pos_roll, carry):
+        """One (dy, dx) contribution from pre-rolled input planes."""
         acc, wacc = carry
-        neg_roll = _roll(wdy_neg, dx, 1)      # I(p - o)
-        pos_roll = _roll(wdy_pos, -dx, 1)     # I(p + o)
         e = (winv - neg_roll) ** 2
-        box_c = _box2_centered(e)
-        w = jnp.exp(box_c * (-1.0 / (h2 * ps * ps)))
+        w = jnp.exp(_box2(e) * inv)
         w_mir = _roll(_roll(w, -dy, 0), -dx, 1)
         acc = acc + w[blk] * neg_roll[blk] + w_mir[blk] * pos_roll[blk]
         wacc = wacc + w[blk] + w_mir[blk]
@@ -101,34 +128,77 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     acc0 = winv[blk]
     wacc0 = jnp.ones((bh, bw), jnp.float32)
 
-    # Loop structure: fori over both dy and dx with the window dy-rolls
-    # hoisted per dy. (Static unrolls were tried and rejected: the full
-    # 264-body unroll compiles for >20 min, and a 23-body dx unroll spills
-    # 157 MB of vector registers past the 128 MB VMEM budget.)
-    def body_row0(dx, carry):         # dy = 0 half-row: (0, dx), dx 1..pd
-        return per_offset(0, dx, winv, winv, carry)
+    # dy = 0 half-row: (0, dx) for dx 1..pd (single-plane passes).
+    def body_row0(dx, carry):
+        return per_offset(0, dx, _roll(winv, dx, 1), _roll(winv, -dx, 1),
+                          carry)
 
     carry = jax.lax.fori_loop(1, pd + 1, body_row0, (acc0, wacc0),
                               unroll=unroll)
 
-    def body_dy(dy, carry):
-        wdy_neg = _roll(winv, dy, 0)
-        wdy_pos = _roll(winv, -dy, 0)
-        carry = per_offset(dy, 0, wdy_neg, wdy_pos, carry)
+    # dy rows in quads: the four (winv - neg_roll)^2 planes of one +-dx
+    # side concatenate along sublanes through ONE lane-dim box dot, one
+    # sublane tree, and one exp. Tree/lane-band wrap-around at the concat
+    # seams stays outside each segment's blk +- pd rows (halo_y >= pd +
+    # tree reach). W4 is hoisted so the e-planes need no per-side concat
+    # of winv itself.
+    n_quads = pd // 4
+    if n_quads:
+        W4 = jnp.concatenate([winv] * 4, axis=0)
 
-        def body_dx(j, c):
-            # Two independent offset chains (+dx, -dx) per iteration: the
-            # per-offset dependency chain alone leaves the VPU partially
-            # latency-bound, and Mosaic rejects fori_loop unroll!=1 — manual
-            # pairing exposes the ILP instead (36.4 -> 33.6 ms at 2000^2,
-            # bit-identical output).
-            c = per_offset(dy, j, wdy_neg, wdy_pos, c)
-            return per_offset(dy, -j, wdy_neg, wdy_pos, c)
+        def body_dyquad(k, carry):
+            dys = [4 * k + 1, 4 * k + 2, 4 * k + 3, 4 * k + 4]
+            N = jnp.concatenate([_roll(winv, d, 0) for d in dys], axis=0)
+            P = jnp.concatenate([_roll(winv, -d, 0) for d in dys], axis=0)
 
-        return jax.lax.fori_loop(1, pd + 1, body_dx, carry,
-                                 unroll=unroll)
+            def quad_side(jj, carry):
+                """The four (dy_i, jj) offsets in one batched pass."""
+                acc, wacc = carry
+                Nr = _roll(N, jj, 1)
+                Pr = _roll(P, -jj, 1)
+                e_all = (W4 - Nr) ** 2
+                w_all = jnp.exp(_box2(e_all) * inv)
+                wl = _roll(w_all, -jj, 1)     # lane part of the mirrors
+                for i_s, d in enumerate(dys):
+                    sl = slice(i_s * S, (i_s + 1) * S)
+                    w = w_all[sl]
+                    w_mir = _roll(wl[sl], -d, 0)
+                    acc = (acc + w[blk] * Nr[sl][blk]
+                           + w_mir[blk] * Pr[sl][blk])
+                    wacc = wacc + w[blk] + w_mir[blk]
+                return acc, wacc
 
-    acc, wacc = jax.lax.fori_loop(1, pd + 1, body_dy, carry)
+            carry = quad_side(0, carry)
+
+            def body_dx(jj, c):
+                return quad_side(-jj, quad_side(jj, c))
+
+            return jax.lax.fori_loop(1, pd + 1, body_dx, carry,
+                                     unroll=unroll)
+
+        carry = jax.lax.fori_loop(0, n_quads, body_dyquad, carry)
+
+    # Leftover dy rows (pd % 4 of them): single-plane passes with the
+    # +-dx pairing for ILP.
+    if 4 * n_quads < pd:
+
+        def body_dy(dy, carry):
+            wdy_neg = _roll(winv, dy, 0)
+            wdy_pos = _roll(winv, -dy, 0)
+            carry = per_offset(dy, 0, wdy_neg, wdy_pos, carry)
+
+            def body_dx(jj, c):
+                c = per_offset(dy, jj, _roll(wdy_neg, jj, 1),
+                               _roll(wdy_pos, -jj, 1), c)
+                return per_offset(dy, -jj, _roll(wdy_neg, -jj, 1),
+                                  _roll(wdy_pos, jj, 1), c)
+
+            return jax.lax.fori_loop(1, pd + 1, body_dx, carry,
+                                     unroll=unroll)
+
+        carry = jax.lax.fori_loop(4 * n_quads + 1, pd + 1, body_dy, carry)
+
+    acc, wacc = carry
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
 
 
