@@ -194,24 +194,35 @@ def _enhance_xzy(vol_xzy, patch, theta_range, phi_range, blocks,
     )(jnp.asarray(tab), vol_xzy)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def lp_cv_enhance_3d_fused(volume, patch: int = 11, theta_range: int = 9,
                            phi_range: int = 9,
                            blocks: tuple = (8, 16, 128),
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           layout: str = "xyz"):
     """Fused 3D LP-CV enhancement of an (X, Y, Z) f32 volume on TPU.
 
     Equivalent to pipeline/segment3d.lp_cv_enhance_3d_chunked's TPU path
     (bf16 min/max accumulation, f32 ratio/combine) with exact interpolated
-    quartiles; edge padding matches np.pad(mode="edge")."""
-    x, y, z = volume.shape
+    quartiles; edge padding matches np.pad(mode="edge").
+
+    ``layout="xzy"``: the volume arrives already in the kernel's native
+    (X, Z, Y) lane layout (the 3D pipeline's canonical layout) and the
+    result is returned in it — the f32 minor-dim output transpose and the
+    bf16 input transpose both disappear."""
+    if layout == "xzy":
+        x, z, y = volume.shape
+    else:
+        x, y, z = volume.shape
     bx, bz, by = blocks
     halo = patch - 1
     pad = halo // 2
     nx = -(-x // bx)
     nz = -(-z // bz)
     ny = -(-y // by)
-    v = volume.astype(jnp.bfloat16).transpose(0, 2, 1)   # (X, Z, Y)
+    v = volume.astype(jnp.bfloat16)
+    if layout != "xzy":
+        v = v.transpose(0, 2, 1)                         # (X, Z, Y)
     # right-pads cover both the block grid and the (8, 128)-aligned DMA
     # window of the last block
     zr = (nz - 1) * bz + _rup(bz + halo, 8) - halo - z
@@ -220,4 +231,5 @@ def lp_cv_enhance_3d_fused(volume, patch: int = 11, theta_range: int = 9,
                     (pad, pad + yr)), mode="edge")
     out = _enhance_xzy(v, patch, theta_range, phi_range, blocks,
                        interpret)
-    return out[:x, :z, :y].transpose(0, 2, 1)
+    out = out[:x, :z, :y]
+    return out if layout == "xzy" else out.transpose(0, 2, 1)

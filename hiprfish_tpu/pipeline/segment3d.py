@@ -225,7 +225,8 @@ def _lp_cv_3d_device(vol, patch_size, theta_range, phi_range, chunk_xy,
 
 
 def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
-                             chunk_xy: int = 128, bf16: bool | None = None):
+                             chunk_xy: int = 128, bf16: bool | None = None,
+                             layout: str = "xyz"):
     """Fused 3D LP-CV enhancement, xy-chunked with halo so the per-chunk
     (72, cx, cy, Z) scratch stays in budget (the reference's chunk loop,
     biofilm_analysis.py:1105-1126) — one jitted program sweeping the chunk
@@ -241,7 +242,13 @@ def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
     quartiles come from a pruned selection network instead of jnp.sort —
     measured 2.6 s vs 33 s for the XLA chunk sweep at the reference's
     2020x2020x170 scale. Set HIPRFISH_NO_PALLAS_LP3D=1 to force the XLA
-    path (same numerics up to f32 mean-summation order)."""
+    path (same numerics up to f32 mean-summation order).
+
+    ``layout="xzy"``: volume arrives (and the result returns) in the 3D
+    pipeline's canonical (X, Z, Y) lane layout — the fused kernel's native
+    layout, so its in/out transposes disappear. The orientation stencil's
+    axis semantics are preserved either way (the layout flag renames the
+    axes; it never feeds a y-axis as z)."""
     import os as _os
 
     vol = jnp.asarray(volume, jnp.float32)
@@ -255,9 +262,17 @@ def lp_cv_enhance_3d_chunked(volume, cfg: SegmentationConfig,
         from hiprfish_tpu.ops import lp3d_pallas
 
         return lp3d_pallas.lp_cv_enhance_3d_fused(
-            vol, cfg.patch_size, cfg.theta_range, cfg.phi_range)
+            vol, cfg.patch_size, cfg.theta_range, cfg.phi_range,
+            layout=layout)
     if bf16 is None:
         bf16 = jax.default_backend() not in ("cpu",)
+    if layout == "xzy":
+        # the XLA chunk sweep is written for (X, Y, Z); correctness-only
+        # CPU/GPU path, so pay the transposes here
+        out = _lp_cv_3d_device(vol.transpose(0, 2, 1), cfg.patch_size,
+                               cfg.theta_range, cfg.phi_range, chunk_xy,
+                               bool(bf16))
+        return out.transpose(0, 2, 1)
     return _lp_cv_3d_device(vol, cfg.patch_size, cfg.theta_range,
                             cfg.phi_range, chunk_xy, bool(bf16))
 
@@ -366,29 +381,28 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
     """One margin-tiled slab of the 3D segmenter (see segment_3d_tiled):
     thresholded fg/interior masks -> opening -> small-object filter ->
     fill-holes seeds -> tile-local CCL + rank -> watershed -> crop the
-    margin. Returns (tile_x, Y, Z) labels with tile-local sequential ids,
+    margin. Returns (tile_x, Z, Y) labels with tile-local sequential ids,
     the id-presence bitmap of the crop, and this tile's PRIVATE labels on
     its right-boundary plane pair (the host merge's sameness evidence).
 
     One compiled program swept over slabs by a host loop — a single
     lax.map program over all tiles reproducibly crashed the TPU worker
     ("kernel fault"), and the host loop costs only one dispatch per tile.
+
+    Slabs arrive in the pipeline's canonical (sx, Z, Y) layout (the TPU
+    pads the minor lane dim to 128 — with Z=170 minor every propagation
+    buffer carried 41% padding vs 1.4% with Y minor). segment_3d_tiled
+    relayouts ONCE at entry, when only vol_sum is live — the round-3
+    design transposed per slab instead because transposing enh/bkg
+    mid-pipeline (with the originals still live) doubled peak HBM and
+    OOM'd the 16 GB chip.
     """
     from hiprfish_tpu.ops import segstats
 
     (thr_fg, thr_int) = thresholds
     (tile_x, margin) = shapes
 
-    # Slab-local relayout (sx, Y, Z) -> (sx, Z, Y): the TPU pads the minor
-    # (lane) dim to 128 — with Z=170 minor every propagation buffer carries
-    # 41% padding (170 -> 256); with Y=2020 minor it is 1.4% (-> 2048).
-    # Transposing per slab (2 x ~260 MB passes) keeps the FULL-volume
-    # buffers in their original layout — a whole-volume transpose doubled
-    # peak HBM and OOM'd the 16 GB chip (measured). Axis 0 stays x, so the
-    # margin crop and boundary-plane slices below are unchanged; outputs
-    # transpose back before returning.
-    enh = jnp.transpose(enh, (0, 2, 1)).astype(jnp.float32)
-    bkg = jnp.transpose(bkg, (0, 2, 1))
+    enh = enh.astype(jnp.float32)
     pos = enh > 0
     # max(thr_int, thr_fg) forces interior ⊆ fg, which makes
     # fill(interior) & fill(fg) == fill(interior) an identity (see
@@ -401,7 +415,7 @@ def _segment_one_tile(enh, bkg, thresholds, statics, shapes):
 
 
 def _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes):
-    """Post-seeds tile body in the transposed (sx, Z, Y) layout: tile-local
+    """Post-seeds tile body in the canonical (sx, Z, Y) layout: tile-local
     CCL + rank over the seed mask, small-seed filter, watershed, margin
     crop, id-presence bitmap, right-boundary plane pair. Shared between the
     in-tile seeds path (_segment_one_tile) and the hoisted global-seeds
@@ -443,12 +457,11 @@ def _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes):
     # which ids are actually present in the crop.
     present = segstats.label_stats(out, None, tile_cap).counts > 0
     # Private labels on the plane pair straddling this tile's right
-    # boundary (slab-local x = margin + tile_x - 1 and + tile_x).
+    # boundary (slab-local x = margin + tile_x - 1 and + tile_x); stays in
+    # the canonical (x, Z, Y) layout like the cropped labels.
     planes = jax.lax.dynamic_slice(
         seg, (margin + tile_x - 1, 0, 0), (2, seg.shape[1], seg.shape[2]))
-    # back to the caller's (x, Y, Z) layout
-    return (jnp.transpose(out, (0, 2, 1)), present,
-            jnp.transpose(planes, (0, 2, 1)))
+    return (out, present, planes)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -458,12 +471,13 @@ def _segment_tile_at(enhanced_p, bkg_p, thresholds, start, statics, shapes):
     call per tile — three synchronous dispatch RPCs through the tunneled
     TPU platform (1.67 s wall vs 1.16 s device per tile, measured). A
     traced ``start`` keeps this a single executable for every tile, and
-    lets warmup precompile it from ShapeDtypeStructs alone."""
+    lets warmup precompile it from ShapeDtypeStructs alone. All full
+    buffers are in the canonical (x, Z, Y) layout."""
     tile_x, margin = shapes
     slab_x = tile_x + 2 * margin
-    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
-    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, y, z))
-    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, y, z))
+    d1, d2 = enhanced_p.shape[1], enhanced_p.shape[2]
+    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, d1, d2))
+    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, d1, d2))
     return _segment_one_tile(enh, bkg, thresholds, statics, shapes)
 
 
@@ -480,24 +494,19 @@ def _scan_cap() -> int:
 @functools.partial(jax.jit, static_argnums=(2,))
 def _global_seeds(enhanced, thr_seed, max_run: int = 128):
     """Watershed seed mask for the WHOLE volume in one program:
-    threshold -> opening -> border-flood fill-holes, in the original
-    (x, Y, Z) layout. Hoisting this out of the per-tile program cuts the
+    threshold -> opening -> border-flood fill-holes, in the canonical
+    (x, Z, Y) layout (input and output — the flood's many full-volume
+    passes run with Y minor, 1.4% lane padding, instead of Z minor, 41%;
+    opening/fill commute with axis permutation — the face neighborhood is
+    axis-symmetric). Hoisting this out of the per-tile program cuts the
     tile executable's XLA compile by the whole opening+fill subgraph and
     deletes the margin-overlap redundancy (every voxel's seeds were
     computed up to twice across neighboring slabs); full-volume fill is
     also *exactly* the untiled semantics rather than exact-up-to-margin.
     Costs ~3 full-volume bool temporaries, so the caller falls back to
-    in-tile seeds on RESOURCE_EXHAUSTED.
-
-    Returns the mask in the (x, Z, Y) tile layout: the flood's many
-    full-volume passes run with Y minor (pads 2020->2048, 1.4% dead lanes)
-    instead of Z minor (170->256, 41%), and the seeded tile program can
-    slice slabs with no per-tile transpose. One cheap bool transpose pays
-    for both (opening/fill commute with axis permutation — the face
-    neighborhood is axis-symmetric)."""
+    in-tile seeds on RESOURCE_EXHAUSTED."""
     pos = enhanced > 0
     interior = (enhanced.astype(jnp.float32) >= thr_seed) & pos
-    interior = jnp.transpose(interior, (0, 2, 1))
     interior = morph.binary_opening(interior)
     return morph.binary_fill_holes(interior, 1, max_run)
 
@@ -506,25 +515,24 @@ def _global_seeds(enhanced, thr_seed, max_run: int = 128):
 def _segment_one_tile_seeded(enh, bkg, seeds_mask, thr_fg, statics, shapes):
     """_segment_one_tile with the seed mask precomputed by _global_seeds —
     the tile program shrinks to threshold + CCL/rank + watershed (the
-    opening/fill-holes subgraph is gone from its compile). ``seeds_mask``
-    arrives already in the (sx, Z, Y) tile layout (see _global_seeds)."""
-    enh = jnp.transpose(enh, (0, 2, 1)).astype(jnp.float32)
-    bkg = jnp.transpose(bkg, (0, 2, 1))
-    return _tile_body(enh, bkg, seeds_mask, thr_fg, statics, shapes)
+    opening/fill-holes subgraph is gone from its compile). All slabs
+    arrive in the canonical (sx, Z, Y) layout."""
+    return _tile_body(enh.astype(jnp.float32), bkg, seeds_mask, thr_fg,
+                      statics, shapes)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _segment_tile_at_seeded(enhanced_p, bkg_p, seeds_p, thr_fg, start,
                             statics, shapes):
     """Seeded analogue of _segment_tile_at: slab slice (enh, bkg, seeds)
-    + tile segmentation as ONE dispatched program with a traced start."""
+    + tile segmentation as ONE dispatched program with a traced start.
+    All full buffers are in the canonical (x, Z, Y) layout."""
     tile_x, margin = shapes
     slab_x = tile_x + 2 * margin
-    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
-    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, y, z))
-    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, y, z))
-    # seeds_p is in the transposed (x, Z, Y) layout
-    seeds = jax.lax.dynamic_slice(seeds_p, (start, 0, 0), (slab_x, z, y))
+    d1, d2 = enhanced_p.shape[1], enhanced_p.shape[2]
+    enh = jax.lax.dynamic_slice(enhanced_p, (start, 0, 0), (slab_x, d1, d2))
+    bkg = jax.lax.dynamic_slice(bkg_p, (start, 0, 0), (slab_x, d1, d2))
+    seeds = jax.lax.dynamic_slice(seeds_p, (start, 0, 0), (slab_x, d1, d2))
     return _segment_one_tile_seeded(enh, bkg, seeds, thr_fg, statics, shapes)
 
 
@@ -559,13 +567,12 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
     (tile_x, margin, n_tiles) = shapes
     slab_x = tile_x + 2 * margin
     enhanced_p, bkg_p, seeds_p = boxes.pop()
-    y, z = enhanced_p.shape[1], enhanced_p.shape[2]
     n_dev = mesh.shape["fov"]
     nt = n_tiles + ((-n_tiles) % n_dev)
     starts = [min(t, n_tiles - 1) * tile_x for t in range(nt)]
 
     def cut(vol):
-        # vol's own trailing dims: seeds arrive in the (x, Z, Y) layout
+        # every full buffer is in the canonical (x, Z, Y) layout
         slabs = jnp.stack([jax.lax.slice(vol, (s, 0, 0),
                                          (s + slab_x,) + vol.shape[1:])
                            for s in starts])
@@ -616,10 +623,11 @@ def _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes, log, mesh):
 def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
                         mesh=None):
     """Host-looped sweep of _segment_one_tile. ``boxes`` is a single-element
-    list [(enhanced_p, bkg_p, seeds_p-or-None)]; it is emptied before the per-tile outputs
-    are stacked so the 4 GB padded inputs free first. Returns stacked
-    (tiles, tile_x, Y, Z) labels, (tiles, tile_cap) presence, and
-    (tiles, 2, Y, Z) boundary planes. With ``mesh``, tiles shard across
+    list [(enhanced_p, bkg_p, seeds_p-or-None)], all in the canonical
+    (x, Z, Y) layout; it is emptied before the per-tile outputs are
+    stacked so the padded inputs free first. Returns a list of
+    (tile_x, Z, Y) label tiles, (tiles, tile_cap) presence, and
+    (tiles, 2, Z, Y) boundary planes. With ``mesh``, tiles shard across
     chips instead (see _tiled_segment_pass_mesh)."""
     if mesh is not None:
         return _tiled_segment_pass_mesh(boxes, thresholds, statics, shapes,
@@ -702,7 +710,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # thresholds) — give it its own thread so it doesn't queue behind
         # the tile program (server-side compiles overlap, measured 1.4x)
         _global_seeds.lower(
-            jax.ShapeDtypeStruct((x, y, z), f32),
+            jax.ShapeDtypeStruct((x, z, y), f32),
             scalar_f32).compile()
 
     def warm_tile():
@@ -710,12 +718,12 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # returns f32 on every backend (the Pallas kernel accumulates in
         # bf16 internally but its out_shape is f32), and segment_3d_tiled
         # pads without casting. A dtype drift here silently recompiles the
-        # tile program on the timed critical path.
-        enh = jax.ShapeDtypeStruct((padded_x, y, z), f32)
-        bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
+        # tile program on the timed critical path. All full buffers are in
+        # the canonical (x, Z, Y) layout.
+        enh = jax.ShapeDtypeStruct((padded_x, z, y), f32)
+        bkg = jax.ShapeDtypeStruct((padded_x, z, y), jnp.bool_)
         start = jax.ShapeDtypeStruct((), jnp.int32)
         if use_seeded:
-            # seeds live in the transposed (x, Z, Y) layout
             seeds = jax.ShapeDtypeStruct((padded_x, z, y), jnp.bool_)
             _segment_tile_at_seeded.lower(
                 enh, bkg, seeds, scalar_f32, start, statics,
@@ -727,7 +735,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
         # The remap program runs right after the tile sweep; compile it
         # next (sequentially, after the tile program lands) so the merge
         # stage doesn't pay its compile on the critical path.
-        lab_s = jax.ShapeDtypeStruct((tile_x, y, z), jnp.int32)
+        lab_s = jax.ShapeDtypeStruct((tile_x, z, y), jnp.int32)
         tbl_s = jax.ShapeDtypeStruct((n_tiles * tile_cap,), f32)
         t_s = jax.ShapeDtypeStruct((), jnp.int32)
         _remap_tile.lower(lab_s, tbl_s, t_s, tile_cap,
@@ -798,7 +806,8 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
                      max_cells: int = 16384, tile_x: int = 240,
                      margin: int = 64, tile_cap: int = 8192,
-                     chunk_xy: int = 128, mesh=None):
+                     chunk_xy: int = 128, mesh=None,
+                     out_layout: str = "xyz"):
     """Full-scale 3D segmentation as a margin-tiled sweep — the design that
     actually fits the reference's 2020x2020x170 volume on one chip.
 
@@ -820,6 +829,12 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
 
     Accepts a single-element list for ownership transfer like
     segment_3d_from_sum. Returns (seg, n_cells, None).
+
+    ``out_layout="xzy"``: return the labels in the pipeline's canonical
+    (X, Z, Y) lane layout instead of (X, Y, Z), skipping the final
+    minor-dim transpose — callers that next transpose to (Z, X, Y) for
+    plane-streamed measurement (make_fused_measure) then pay only a cheap
+    major-dims permute.
     """
     from hiprfish_tpu.ops import segstats
     from hiprfish_tpu.utils import oom
@@ -838,6 +853,17 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     if isinstance(vol_sum, list):
         vol_sum = vol_sum.pop()
     x, y, z = vol_sum.shape
+    # Canonical (x, Z, Y) relayout ONCE, while only vol_sum is live: the
+    # TPU pads the minor (lane) dim to 128, so the reference-scale Z=170
+    # minor carried 41% dead lanes (and +51% HBM) on EVERY full-volume
+    # buffer and pass below, vs 1.4% with Y=2020 minor. Everything from
+    # here to the final label assembly — thresholds, enhancement, seeds,
+    # the tile sweep — runs in (x, Z, Y); the result transposes back once.
+    # (The round-3 design transposed per tile slab instead, because
+    # transposing enh/bkg mid-pipeline with the originals live doubled
+    # peak HBM and OOM'd the 16 GB chip; at entry the transient is just
+    # vol + vol_xzy.)
+    vol_sum = jnp.transpose(vol_sum, (0, 2, 1))
     vol_norm = vol_sum / jnp.maximum(jnp.max(vol_sum), 1e-12)
     del vol_sum
     logv = jnp.log10(vol_norm + 1e-8)
@@ -847,7 +873,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     del logv
 
     def _enhance(cx):
-        out = lp_cv_enhance_3d_chunked(vol_norm, cfg, cx)
+        out = lp_cv_enhance_3d_chunked(vol_norm, cfg, cx, layout="xzy")
         jax.block_until_ready(out)
         return out
 
@@ -910,7 +936,7 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     # Host union-find over the boundary plane pairs. Global id of tile t's
     # local rank r is t * tile_cap + r.
     present = np.asarray(tile_present)        # (tiles, tile_cap) bool
-    planes_np = np.asarray(planes)            # (tiles, 2, Y, Z) private ids
+    planes_np = np.asarray(planes)            # (tiles, 2, Z, Y) private ids
     # Pull every boundary's cropped-label plane pair in ONE dispatch + ONE
     # transfer — the per-boundary eager slice + np.asarray paid a tunnel
     # round-trip each (16 round-trips ≈ seconds of the merge stage).
@@ -969,7 +995,11 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         remapped.append(_remap_tile(tiles_seg.pop(0), remap_dev,
                                     np.int32(t), tile_cap,
                                     min(tile_cap, 2048)))
+    # assemble in the canonical (x, Z, Y) layout, then transpose back once
+    # to the public (X, Y, Z) contract unless the caller wants xzy
     seg = jnp.concatenate(remapped, axis=0)[:x]
+    if out_layout != "xzy":
+        seg = jnp.transpose(seg, (0, 2, 1))
     del remapped
     _log("remap applied")
     return seg, n_cells, None

@@ -30,9 +30,10 @@ def test_3d_tile_and_seed_programs_stay_small():
     statics = (64, 256, 512, tile_cap, 0)
     f32s = jax.ShapeDtypeStruct((), jnp.float32)
     # f32 to match what warmup_pipeline lowers and the runtime actually
-    # passes (lp_cv_enhance_3d_chunked emits f32 on every backend)
-    enh = jax.ShapeDtypeStruct((padded_x, y, z), jnp.float32)
-    bkg = jax.ShapeDtypeStruct((padded_x, y, z), jnp.bool_)
+    # passes (lp_cv_enhance_3d_chunked emits f32 on every backend); every
+    # full buffer is in the canonical (x, Z, Y) layout
+    enh = jax.ShapeDtypeStruct((padded_x, z, y), jnp.float32)
+    bkg = jax.ShapeDtypeStruct((padded_x, z, y), jnp.bool_)
     seeds = jax.ShapeDtypeStruct((padded_x, z, y), jnp.bool_)
     start = jax.ShapeDtypeStruct((), jnp.int32)
 
@@ -41,7 +42,7 @@ def test_3d_tile_and_seed_programs_stay_small():
     assert _ops(tile) < 1800, _ops(tile)          # 1334 @ 2026-08-18 (f32)
 
     gs = s3._global_seeds.lower(
-        jax.ShapeDtypeStruct((x, y, z), jnp.float32), f32s)
+        jax.ShapeDtypeStruct((x, z, y), jnp.float32), f32s)
     # 1152 @ 2026-08-18: the coarse-pool reshape became c strided slices
     # per axis and the upsample an axis-gather — more (cheap) ops, but it
     # removed a 22.8 GB tile-padded bool intermediate that OOM'd at

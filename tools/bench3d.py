@@ -184,9 +184,11 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     t0 = time.time()
     vol_box = [stitched]          # ownership transfer: the segmenter pops
     del stitched                  # it so the 2.8 GB input frees mid-pipeline
-    seg, n_cells, enhanced = segment3d.segment_3d_tiled(
-        vol_box, cfg, max_cells, chunk_xy=chunk_xy)
-    sync(seg)
+    # xzy labels: the fused measure consumes (Z, X, Y), so the transpose
+    # below is a cheap major-dims permute instead of a minor-dim shuffle
+    seg_xzy, n_cells, enhanced = segment3d.segment_3d_tiled(
+        vol_box, cfg, max_cells, chunk_xy=chunk_xy, out_layout="xzy")
+    sync(seg_xzy)
     timings["segment_s"] = time.time() - t0
     n_found = int(n_cells)
     log(f"segment: {timings['segment_s']:.1f}s, {n_found} cells "
@@ -200,7 +202,8 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     if fused_measure is not None:
         from hiprfish_tpu.utils import oom
         try:
-            avg, spill = fused_measure(jnp.transpose(seg, (2, 0, 1)))
+            # (X, Z, Y) -> (Z, X, Y): major-dims permute, minor Y fixed
+            avg, spill = fused_measure(jnp.transpose(seg_xzy, (1, 0, 2)))
             if bool(spill):
                 log("fused measure band spill -> streamed fallback")
                 avg = None
@@ -212,8 +215,8 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
             log("fused measure RESOURCE_EXHAUSTED -> streamed fallback")
     if avg is None:
         avg = segment3d.measure_volume_streamed(
-            seg, loader, shape[2], z_chunk, layout.n_channels, max_cells,
-            channels_major=True)
+            jnp.transpose(seg_xzy, (0, 2, 1)), loader, shape[2], z_chunk,
+            layout.n_channels, max_cells, channels_major=True)
     sync(avg)
     timings["measure_s"] = time.time() - t0
     log(f"measure ({measure_path}): {timings['measure_s']:.1f}s")
@@ -230,6 +233,9 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     warm_clf_t.join()
 
     # ---- accuracy vs planted truth (untimed validation) ----
+    # the diagnostics below slice z from an (X, Y, Z) label volume
+    seg = jnp.transpose(seg_xzy, (0, 2, 1))
+    del seg_xzy
     import functools
 
     @functools.partial(jax.jit, static_argnums=(3,))

@@ -90,8 +90,11 @@ def main():
     timeit("present(label_stats)", st, seg[args.margin:args.margin
                                            + args.tile_x])
 
+    # _segment_one_tile expects the canonical (sx, Z, Y) layout
+    enh_xzy = jnp.transpose(enh, (0, 2, 1))
+    bkg_xzy = jnp.transpose(bkg, (0, 2, 1))
     one = lambda: segment3d._segment_one_tile(
-        enh, bkg, (thr_fg, thr_int),
+        enh_xzy, bkg_xzy, (thr_fg, thr_int),
         (cfg.lp_seed_min_size, cfg.ccl_max_iters, cfg.watershed_max_iters,
          8192), (args.tile_x, args.margin))
     timeit("TOTAL one_tile", one)
