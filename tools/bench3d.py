@@ -128,109 +128,158 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     warm_stitch_t.start()
 
     # ---- generate + cut tiles (untimed: fixture construction) ----
-    t0 = time.time()
-    vol = s3.build_sum_volume(spec, len(codes), lut.sum(axis=1), seed=1,
-                              z_chunk=16)
-    sync(vol)
-    log(f"fixture volume built on device in {time.time()-t0:.1f}s")
-    gy, gx = tile_grid
-    ty = (shape[0] + (gy - 1) * overlap) // gy
-    tx = (shape[1] + (gx - 1) * overlap) // gx
-    step_y, step_x = ty - overlap, tx - overlap
-    shift_rng = np.random.RandomState(3)
-    tile_shifts = [tuple(shift_rng.randint(-3, 4, 3)) for _ in range(gy * gx)]
-    tile_shifts[0] = (0, 0, 0)
-    # A shifted microscope tile sees TRUE scene content at its edges, so
-    # cut each tile's window (offset by its shift) from a padded copy of
-    # the scene. The earlier jnp.roll fixture wrapped the opposite edge's
-    # pixels in — garbage strips real acquisition never produces, which
-    # seeded spurious cells in the stitched overlaps (the +2% r2
-    # over-detection: BENCH_3D_DIAG showed uniform-in-x duplicates + thin
-    # sheet-shaped noise labels, both stitch-seam shaped).
-    S = 3
-    volp = jnp.pad(vol, ((S, S), (S, S), (S, S)), mode="edge")
-    # free the unpadded scene before cutting: vol + volp + 8 tiles was an
-    # ~11 GB transient peak that, concurrent with cold-process warmup
-    # compiles, cascaded into RESOURCE_EXHAUSTED (2026-08-18 full-bench run)
-    sync(volp)
-    del vol
-    tiles = [
-        jax.lax.dynamic_slice(
-            volp,
-            (i * step_y + S - tile_shifts[i * gx + j][0],
-             j * step_x + S - tile_shifts[i * gx + j][1],
-             S - tile_shifts[i * gx + j][2]),
-            (ty, tx, shape[2]))
-        for i in range(gy) for j in range(gx)
-    ]
-    sync(tiles[-1])
-    del volp
+    def build_tiles():
+        t0 = time.time()
+        vol = s3.build_sum_volume(spec, len(codes), lut.sum(axis=1), seed=1,
+                                  z_chunk=16)
+        sync(vol)
+        log(f"fixture volume built on device in {time.time()-t0:.1f}s")
+        gy, gx = tile_grid
+        ty = (shape[0] + (gy - 1) * overlap) // gy
+        tx = (shape[1] + (gx - 1) * overlap) // gx
+        step_y, step_x = ty - overlap, tx - overlap
+        shift_rng = np.random.RandomState(3)
+        tile_shifts = [tuple(shift_rng.randint(-3, 4, 3))
+                       for _ in range(gy * gx)]
+        tile_shifts[0] = (0, 0, 0)
+        # A shifted microscope tile sees TRUE scene content at its edges,
+        # so cut each tile's window (offset by its shift) from a padded
+        # copy of the scene. The earlier jnp.roll fixture wrapped the
+        # opposite edge's pixels in — garbage strips real acquisition
+        # never produces, which seeded spurious cells in the stitched
+        # overlaps (the +2% r2 over-detection: BENCH_3D_DIAG showed
+        # uniform-in-x duplicates + thin sheet-shaped noise labels, both
+        # stitch-seam shaped).
+        S = 3
+        volp = jnp.pad(vol, ((S, S), (S, S), (S, S)), mode="edge")
+        # free the unpadded scene before cutting: vol + volp + 8 tiles was
+        # an ~11 GB transient peak that, concurrent with cold-process
+        # warmup compiles, cascaded into RESOURCE_EXHAUSTED (2026-08-18)
+        sync(volp)
+        del vol
+        tiles = [
+            jax.lax.dynamic_slice(
+                volp,
+                (i * step_y + S - tile_shifts[i * gx + j][0],
+                 j * step_x + S - tile_shifts[i * gx + j][1],
+                 S - tile_shifts[i * gx + j][2]),
+                (ty, tx, shape[2]))
+            for i in range(gy) for j in range(gx)
+        ]
+        sync(tiles[-1])
+        return tiles
+
+    tiles = build_tiles()
 
     # ---- stitch (timed) ----
     pad = 10
     warm_stitch_t.join()
-    t0 = time.time()
-    stitched = segment3d.stitch_tiles_device(
-        tiles, tile_grid, overlap, (shape[0], shape[1], shape[2]), pad=pad)
-    sync(stitched)
-    timings["stitch_s"] = time.time() - t0
-    log(f"stitch: {timings['stitch_s']:.1f}s")
-    stitched = stitched[pad:pad + shape[0], pad:pad + shape[1],
+
+    def run_stitch(tiles, timings):
+        t0 = time.time()
+        stitched = segment3d.stitch_tiles_device(
+            tiles, tile_grid, overlap, (shape[0], shape[1], shape[2]),
+            pad=pad)
+        sync(stitched)
+        timings["stitch_s"] = time.time() - t0
+        log(f"stitch: {timings['stitch_s']:.1f}s")
+        return stitched[pad:pad + shape[0], pad:pad + shape[1],
                         pad:pad + shape[2]]
+
+    stitched = run_stitch(tiles, timings)
     del tiles
 
     # ---- segment (timed) ----
     cfg = SegmentationConfig()
-    t0 = time.time()
+
+    def run_segment(stitched_box, timings):
+        t0 = time.time()
+        # xzy labels: the fused measure consumes (Z, X, Y), so the
+        # transpose below is a cheap major-dims permute instead of a
+        # minor-dim shuffle
+        seg_xzy, n_cells, enhanced = segment3d.segment_3d_tiled(
+            stitched_box, cfg, max_cells, chunk_xy=chunk_xy,
+            out_layout="xzy")
+        sync(seg_xzy)
+        timings["segment_s"] = time.time() - t0
+        del enhanced  # tiled path returns None
+        n_found = int(n_cells)
+        log(f"segment: {timings['segment_s']:.1f}s, {n_found} cells "
+            f"(true {n_cells_true})")
+        return seg_xzy, n_found
+
     vol_box = [stitched]          # ownership transfer: the segmenter pops
     del stitched                  # it so the 2.8 GB input frees mid-pipeline
-    # xzy labels: the fused measure consumes (Z, X, Y), so the transpose
-    # below is a cheap major-dims permute instead of a minor-dim shuffle
-    seg_xzy, n_cells, enhanced = segment3d.segment_3d_tiled(
-        vol_box, cfg, max_cells, chunk_xy=chunk_xy, out_layout="xzy")
-    sync(seg_xzy)
-    timings["segment_s"] = time.time() - t0
-    n_found = int(n_cells)
-    log(f"segment: {timings['segment_s']:.1f}s, {n_found} cells "
-        f"(true {n_cells_true})")
-    del enhanced  # tiled path returns None
+    seg_xzy, n_found = run_segment(vol_box, timings)
 
     # ---- measure (timed): streamed 63-channel segment_sum ----
-    t0 = time.time()
-    avg = None
-    measure_path = "streamed 63ch"
-    if fused_measure is not None:
-        from hiprfish_tpu.utils import oom
-        try:
-            # (X, Z, Y) -> (Z, X, Y): major-dims permute, minor Y fixed
-            avg, spill = fused_measure(jnp.transpose(seg_xzy, (1, 0, 2)))
-            if bool(spill):
-                log("fused measure band spill -> streamed fallback")
-                avg = None
-            else:
-                measure_path = "fused one-dispatch"
-        except Exception as e:
-            if not oom.is_oom_error(e):
-                raise
-            log("fused measure RESOURCE_EXHAUSTED -> streamed fallback")
-    if avg is None:
-        avg = segment3d.measure_volume_streamed(
-            jnp.transpose(seg_xzy, (0, 2, 1)), loader, shape[2], z_chunk,
-            layout.n_channels, max_cells, channels_major=True)
-    sync(avg)
-    timings["measure_s"] = time.time() - t0
-    log(f"measure ({measure_path}): {timings['measure_s']:.1f}s")
+    def run_measure(seg_xzy, timings):
+        t0 = time.time()
+        avg = None
+        measure_path = "streamed 63ch"
+        if fused_measure is not None:
+            from hiprfish_tpu.utils import oom
+            try:
+                # (X, Z, Y) -> (Z, X, Y): major-dims permute, minor Y fixed
+                avg, spill = fused_measure(
+                    jnp.transpose(seg_xzy, (1, 0, 2)))
+                if bool(spill):
+                    log("fused measure band spill -> streamed fallback")
+                    avg = None
+                else:
+                    measure_path = "fused one-dispatch"
+            except Exception as e:
+                if not oom.is_oom_error(e):
+                    raise
+                log("fused measure RESOURCE_EXHAUSTED -> streamed fallback")
+        if avg is None:
+            avg = segment3d.measure_volume_streamed(
+                jnp.transpose(seg_xzy, (0, 2, 1)), loader, shape[2],
+                z_chunk, layout.n_channels, max_cells, channels_major=True)
+        sync(avg)
+        timings["measure_s"] = time.time() - t0
+        log(f"measure ({measure_path}): {timings['measure_s']:.1f}s")
+        return avg
+
+    avg = run_measure(seg_xzy, timings)
 
     # ---- classify (timed) ----
-    t0 = time.time()
-    norm = avg / jnp.maximum(jnp.max(avg, axis=1, keepdims=True), 1e-12)
-    pred_idx, _, _ = clf.predict_with_proba(
-        clf.build_features(norm))
-    sync(pred_idx)
-    timings["classify_s"] = time.time() - t0
-    log(f"classify: {timings['classify_s']:.1f}s")
+    def run_classify(avg, timings):
+        t0 = time.time()
+        norm = avg / jnp.maximum(jnp.max(avg, axis=1, keepdims=True),
+                                 1e-12)
+        pred_idx, _, _ = clf.predict_with_proba(clf.build_features(norm))
+        sync(pred_idx)
+        timings["classify_s"] = time.time() - t0
+        log(f"classify: {timings['classify_s']:.1f}s")
+        return pred_idx
+
+    pred_idx = run_classify(avg, timings)
     warm_join()          # no-op by now; tidies the warmup threads
     warm_clf_t.join()
+
+    # ---- steady-state pass (the headline, matching the 2D configs'
+    # first-call-discarded methodology): identical fresh processes vary
+    # +-8 s on the first pass from nondeterministic persistent-cache
+    # residual compiles (measured 26.1-41.2 s segment across five
+    # identical runs, 2026-08-19); the second pass runs with every
+    # program warm in THIS process and isolates pipeline throughput.
+    # The first (cold) pass is reported alongside. HIPRFISH_3D_STEADY=0
+    # skips it (CPU CI, quick checks).
+    cold = dict(timings)
+    if os.environ.get("HIPRFISH_3D_STEADY", "1") != "0" \
+            and jax.default_backend() not in ("cpu", "gpu"):
+        # free the cold pass's outputs first (the label volume is
+        # ~2.8 GB; the steady pass reproduces identical content)
+        del avg, seg_xzy
+        tiles2 = build_tiles()
+        stitched2 = run_stitch(tiles2, timings)
+        del tiles2
+        box2 = [stitched2]
+        del stitched2
+        seg_xzy, n_found = run_segment(box2, timings)
+        avg = run_measure(seg_xzy, timings)
+        pred_idx = run_classify(avg, timings)
 
     # ---- accuracy vs planted truth (untimed validation) ----
     # the diagnostics below slice z from an (X, Y, Z) label volume
@@ -337,6 +386,7 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
 
     total_s = sum(timings.values())
     mvox = shape[0] * shape[1] * shape[2] / 1e6
+    cold_total = sum(cold.values())
     result = {
         "seconds_total": round(total_s, 2),
         "mvox_per_s": round(mvox / total_s, 2),
@@ -346,6 +396,12 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
         "matched_cells": int(valid.sum()),
         **{k: round(v, 2) for k, v in timings.items()},
     }
+    if cold != timings:
+        result["cold_pass"] = {
+            "seconds_total": round(cold_total, 2),
+            "mvox_per_s": round(mvox / cold_total, 2),
+            **{k: round(v, 2) for k, v in cold.items()},
+        }
     return result
 
 
