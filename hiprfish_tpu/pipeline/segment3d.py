@@ -663,7 +663,7 @@ def _tiled_segment_pass(boxes, thresholds, statics, shapes, log=lambda m: None,
 
 
 def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
-                    max_cells: int = 16384, tile_x: int = 240,
+                    max_cells: int = 16384, tile_x: int = 360,
                     margin: int = 64, tile_cap: int = 8192,
                     z_chunk: int = 2, n_channels: int | None = None,
                     measure_width: int = 512, measure_runner=None):
@@ -804,7 +804,7 @@ def warmup_pipeline(shape, cfg: SegmentationConfig = SegmentationConfig(),
 
 
 def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
-                     max_cells: int = 16384, tile_x: int = 240,
+                     max_cells: int = 16384, tile_x: int = 360,
                      margin: int = 64, tile_cap: int = 8192,
                      chunk_xy: int = 128, mesh=None,
                      out_layout: str = "xyz"):
@@ -826,6 +826,13 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     band-local by construction. Exact for every structure smaller than
     ``margin``; the same decomposition shard_maps across chips (the tile
     axis is the mesh 'tile' axis of parallel/spatial.py).
+
+    ``tile_x`` defaults to 360 (6 tiles at the reference's X=2020): the
+    margin-overlap redundancy factor is (tile_x + 2*margin)/tile_x, and
+    the on-chip sweep A/B at the reference scale measured steady-state
+    segment 20.0 s @ 240 / **17.9 s @ 360** / 19.5 s @ 480 (bigger slabs
+    stop paying past the point where per-tile HBM pressure bites) —
+    exactness is margin's, not tile_x's, so the knob is pure scheduling.
 
     Accepts a single-element list for ownership transfer like
     segment_3d_from_sum. Returns (seg, n_cells, None).
@@ -884,10 +891,12 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     # enhanced is f32 on every backend (the Pallas kernel accumulates bf16
     # internally but emits f32); the padded full volume is ~4 GB, measured
     # to fit alongside the tile sweep on a 16 GB chip
-    thr_fg = _cluster_threshold(enhanced.astype(jnp.float32), 2,
-                                cfg.kmeans_iters)
-    thr_int = _cluster_threshold(enhanced.astype(jnp.float32), 3,
-                                 cfg.kmeans_iters)
+    # one shared full-volume histogram for both k (the scatter pass over
+    # 694M voxels dominates each call; kmeans1d_centers_multi halves it)
+    c2, c3 = km.kmeans1d_centers_multi(enhanced.astype(jnp.float32),
+                                       (2, 3), cfg.kmeans_iters)
+    thr_fg = (c2[-1] + c2[-2]) / 2.0
+    thr_int = (c3[-1] + c3[-2]) / 2.0
 
     # Hoisted seed mask (opening + fill-holes) for the whole volume in one
     # program — the per-tile programs then just slice it (smaller tile

@@ -24,7 +24,7 @@ def test_3d_tile_and_seed_programs_stay_small():
     from hiprfish_tpu.pipeline import segment3d as s3
 
     x, y, z = 2020, 2020, 170
-    tile_x, margin, tile_cap = 240, 64, 8192
+    tile_x, margin, tile_cap = 360, 64, 8192
     n_tiles = -(-x // tile_x)
     padded_x = n_tiles * tile_x + 2 * margin
     statics = (64, 256, 512, tile_cap, 0)
