@@ -28,3 +28,18 @@ def test_nlm_pallas_unroll_is_pure_scheduling():
         out = np.asarray(nlm_pallas.denoise_nl_means_pallas(
             jnp.asarray(img), 0.02, 7, 11, 128, True, u))
         np.testing.assert_allclose(out, base, rtol=0, atol=0)
+
+
+def test_nlm_pallas_quad_grouping_edge_paths():
+    """The r04 kernel groups dy rows in quads with single-row leftovers;
+    exercise pd < 4 (no quads at all) and pd = 6 (one quad + 2 leftover
+    rows) against the XLA path — the pd=11 tests above only cover the
+    2-quads + 3-leftovers shape."""
+    rng = np.random.RandomState(2)
+    img = rng.rand(64, 96).astype(np.float32)
+    for pd in (3, 6):
+        out = np.asarray(nlm_pallas.denoise_nl_means_pallas(
+            jnp.asarray(img), 0.02, 7, pd, 64, True))
+        ref = np.asarray(denoise.denoise_nl_means(
+            jnp.asarray(img), 0.02, 7, pd))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
