@@ -45,10 +45,20 @@ class FovResult(NamedTuple):
 
 def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
                         max_cells: int, denoise: bool = True,
-                        pallas_ok: bool = True):
+                        pallas_ok: bool = True, stop_after: str = ""):
     """Pure-device LP-CV segmentation of one FOV (multispecies semantics,
     multispecies_spectral_image_measurement.py:78-157). ``stack`` is a tuple
-    of per-laser (H, W, C_l) arrays."""
+    of per-laser (H, W, C_l) arrays.
+
+    ``stop_after`` (static, profiling only): truncate after the named stage
+    and return a scalar checksum — same prefix-attribution contract and
+    caveats as fused_ecoli.segment_ecoli_device (each prefix pays a
+    full-tensor checksum the full program doesn't; truncation changes
+    fusion; small deltas are noise)."""
+
+    def _ck(x):
+        return jnp.sum(x.astype(jnp.float32))
+
     projections = [jnp.sum(img, axis=2) for img in stack]
     ref0 = projections[0]
     c = cfg.register_crop
@@ -77,6 +87,8 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     registered = jax.lax.optimization_barrier(registered)
     fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
+    if stop_after == 'register':
+        return _ck(sum_norm), registered
     if denoise:
         nlm = (dn.denoise_nl_means_auto if pallas_ok
                else dn.denoise_nl_means)
@@ -84,23 +96,31 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
                   cfg.nlm_patch_distance)
     else:
         den = sum_norm
+    if stop_after == 'nlm':
+        return _ck(den), registered
     if pallas_ok:
         from hiprfish_tpu.ops.lp_pallas import lp_cv_enhance_2d_auto as _lp
     else:
         _lp = lp.lp_cv_enhance_2d
     enhanced = _lp(den, cfg.patch_size, cfg.phi_range)
+    if stop_after == 'enhance':
+        return _ck(enhanced), registered
 
     bkg = km.brightest_cluster_mask(den, 2, cfg.kmeans_iters)
     # Intersect with the intensity background filter before the morphology
     # chain (see segment2d.segment_lpcv_from_registered): same cell seeds,
     # compact CCL inputs.
     fg = km.brightest_cluster_mask(enhanced, 2, cfg.kmeans_iters) & bkg
+    if stop_after == 'kmeans':
+        return _ck(fg) + _ck(bkg), registered
     # fill(opening(fg)) & fill(fg) == fill(opening(fg)): opening only
     # shrinks, and reachability through ~fg implies reachability through
     # the superset ~opening(fg) — the second border flood was a no-op
     # (same identity as segment3d._segment_one_tile)
     seed_mask = morph.binary_fill_holes(morph.binary_opening(fg),
                                         1, 64)
+    if stop_after == 'seeds':
+        return _ck(seed_mask), registered
 
     # Rank the markers to sequential 1..n BEFORE flooding (gather-free
     # presence trick, ops/segstats.py): the watershed then propagates
@@ -116,6 +136,8 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
                                           cfg.scan_cap)
     pre_segments = 2 * max_cells
     markers_seq = jnp.minimum(markers_seq, pre_segments - 1)
+    if stop_after == 'ccl':
+        return _ck(markers_seq), registered
     st = segstats.label_stats(markers_seq, None, pre_segments, width=256)
     keep_tbl = jnp.where(st.counts >= cfg.lp_seed_min_size,
                          jnp.arange(pre_segments, dtype=jnp.float32),
@@ -123,8 +145,12 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     markers = segstats.label_lookup(markers_seq, keep_tbl,
                                     width=256).astype(jnp.int32) \
         * bkg.astype(jnp.int32)
+    if stop_after == 'markers':
+        return _ck(markers), registered
     seg = ws.watershed(-(enhanced * bkg), markers, fg & bkg, 1,
                        cfg.watershed_max_iters)
+    if stop_after == 'watershed':
+        return _ck(seg), registered
     return seg, registered
 
 

@@ -536,6 +536,38 @@ def _segment_tile_at_seeded(enhanced_p, bkg_p, seeds_p, thr_fg, start,
     return _segment_one_tile_seeded(enh, bkg, seeds, thr_fg, statics, shapes)
 
 
+_PAIR_CAP = 8192
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _boundary_pair_codes(tiles, planes, tile_cap, cap):
+    """Unique cross-boundary label pairs, extracted ON DEVICE.
+
+    For boundary t (between tiles t and t+1): a matched pixel is one where
+    tile t's PRIVATE labeling joins the two adjacent x-planes
+    (planes[t, 0] == planes[t, 1] > 0) and both cropped labelings are
+    foreground; its pair code is left_rank * tile_cap + right_rank
+    (< tile_cap² = 2²⁶ at the default cap — exact in int32). Deduplicates
+    per boundary with sort + first-occurrence + top_k and returns
+    (codes (n_tiles-1, cap) zero-padded desc-sorted, n_unique (n_tiles-1,))
+    so the host can detect cap spill. Replaces transferring the full
+    (tiles, 2, Z, Y) private planes plus the cropped edge planes through
+    the tunnel (~30 MB per reference-scale volume -> cap*4 B/boundary)."""
+    a = jnp.stack([tiles[t][-1] for t in range(len(tiles) - 1)])
+    b = jnp.stack([tiles[t + 1][0] for t in range(len(tiles) - 1)])
+    priv = planes[:len(tiles) - 1]
+    same = (priv[:, 0] == priv[:, 1]) & (priv[:, 0] > 0) & (a > 0) & (b > 0)
+    code = jnp.where(same, a.astype(jnp.int32) * tile_cap
+                     + b.astype(jnp.int32), 0)
+    code = code.reshape(code.shape[0], -1)
+    s = jnp.sort(code, axis=1)
+    first = jnp.concatenate(
+        [s[:, :1] > 0, (s[:, 1:] != s[:, :-1]) & (s[:, 1:] > 0)], axis=1)
+    n_unique = jnp.sum(first, axis=1)
+    return (jax.lax.top_k(jnp.where(first, s, 0),
+                          min(cap, s.shape[1]))[0], n_unique)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _remap_tile(labels, full_table, t, tile_cap, width):
     """Jitted remap of one tile's labels through its slice of the global
@@ -945,14 +977,26 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
     # Host union-find over the boundary plane pairs. Global id of tile t's
     # local rank r is t * tile_cap + r.
     present = np.asarray(tile_present)        # (tiles, tile_cap) bool
-    planes_np = np.asarray(planes)            # (tiles, 2, Z, Y) private ids
-    # Pull every boundary's cropped-label plane pair in ONE dispatch + ONE
-    # transfer — the per-boundary eager slice + np.asarray paid a tunnel
-    # round-trip each (16 round-trips ≈ seconds of the merge stage).
-    edges_np = np.asarray(jax.jit(
-        lambda ts: jnp.stack([jnp.stack([ts[t][-1], ts[t + 1][0]])
-                              for t in range(len(ts) - 1)]))(
-        tuple(tiles_seg))) if n_tiles > 1 else None
+    # Matched (left, right) rank pairs are deduplicated ON DEVICE and only
+    # the unique codes cross the tunnel (~cap*4 B/boundary); the full
+    # plane-pair transfer (~30 MB/volume, measured as the bulk of the
+    # merge stage) remains only as the pair-cap-spill fallback below.
+    pair_rows = None
+    planes_np = edges_np = None
+    if n_tiles > 1:
+        codes, n_uni = _boundary_pair_codes(tuple(tiles_seg), planes,
+                                            tile_cap, _PAIR_CAP)
+        n_uni = np.asarray(n_uni)
+        if int(n_uni.max(initial=0)) < _PAIR_CAP:
+            pair_rows = np.asarray(codes)
+        else:
+            _log(f"boundary pair cap spill ({int(n_uni.max())} >= "
+                 f"{_PAIR_CAP}) -> full-plane merge")
+            planes_np = np.asarray(planes)    # (tiles, 2, Z, Y) private ids
+            edges_np = np.asarray(jax.jit(
+                lambda ts: jnp.stack([jnp.stack([ts[t][-1], ts[t + 1][0]])
+                                      for t in range(len(ts) - 1)]))(
+                tuple(tiles_seg)))
     parent = {}
 
     def find(a):
@@ -970,6 +1014,11 @@ def segment_3d_tiled(vol_sum, cfg: SegmentationConfig = SegmentationConfig(),
         xb = (t + 1) * tile_x
         if xb >= x:
             break
+        if pair_rows is not None:
+            for code in pair_rows[t][pair_rows[t] > 0].tolist():
+                union(t * tile_cap + code // tile_cap,
+                      (t + 1) * tile_cap + code % tile_cap)
+            continue
         g0 = edges_np[t, 0]
         g0 = np.where(g0 > 0, g0 + t * tile_cap, 0)
         g1 = edges_np[t, 1]

@@ -272,6 +272,51 @@ def test_segment_3d_tiled_matches_full_volume():
         used.add(best)
 
 
+def test_boundary_pair_codes_matches_numpy():
+    """The on-device unique-pair extraction must reproduce the host
+    reference: for each boundary, exactly the set of
+    left_rank * tile_cap + right_rank codes where the owning tile's private
+    labeling joins the two planes and both crops are foreground."""
+    rng = np.random.RandomState(3)
+    tile_cap = 64
+    tiles = tuple(jnp.asarray(rng.randint(0, 9, (5, 12, 16)), jnp.int32)
+                  for _ in range(3))
+    planes = jnp.asarray(rng.randint(0, 5, (3, 2, 12, 16)), jnp.int32)
+    codes, n_uni = segment3d._boundary_pair_codes(tiles, planes,
+                                                  tile_cap, 32)
+    codes, n_uni = np.asarray(codes), np.asarray(n_uni)
+    for t in range(2):
+        a, b = np.asarray(tiles[t][-1]), np.asarray(tiles[t + 1][0])
+        priv = np.asarray(planes[t])
+        same = (priv[0] == priv[1]) & (priv[0] > 0) & (a > 0) & (b > 0)
+        expect = np.unique(a[same].astype(np.int64) * tile_cap + b[same])
+        assert n_uni[t] == len(expect)
+        np.testing.assert_array_equal(np.sort(codes[t][codes[t] > 0]),
+                                      np.sort(expect))
+
+
+def test_tiled_merge_pair_cap_spill_fallback(monkeypatch):
+    """When a boundary overflows the device pair cap, the merge must fall
+    back to the full-plane transfer path and produce the identical
+    segmentation (spill forced by inflating the reported unique counts)."""
+    codes = [1, 9, 65, 127, 3, 5, 17, 33, 64]
+    stack, _ = _make_volume_stack(codes, shape=(144, 96, 40))
+    vol_sum = jnp.sum(segment3d.register_volume_stack(stack), axis=3)
+    cfg = SegmentationConfig(kmeans_iters=20)
+    kw = dict(max_cells=64, tile_x=48, margin=32, tile_cap=64, chunk_xy=48)
+    seg_a, n_a, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
+    orig = segment3d._boundary_pair_codes
+
+    def force_spill(tiles, planes, tile_cap, cap):
+        pair_codes, n = orig(tiles, planes, tile_cap, cap)
+        return pair_codes, n + segment3d._PAIR_CAP
+
+    monkeypatch.setattr(segment3d, "_boundary_pair_codes", force_spill)
+    seg_b, n_b, _ = segment3d.segment_3d_tiled(vol_sum, cfg, **kw)
+    assert int(n_a) == int(n_b)
+    np.testing.assert_array_equal(np.asarray(seg_a), np.asarray(seg_b))
+
+
 @pytest.mark.slow
 def test_tiled_global_seeds_matches_in_tile_seeds(monkeypatch):
     """The hoisted full-volume seed mask (_global_seeds + seeded tile

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--size", type=int, default=2000)
     ap.add_argument("--cells", type=int, default=400)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--prefix", action="store_true",
+                    help="time cumulative in-program prefixes of the fused "
+                         "7-bit segmenter (stop_after=...) instead of "
+                         "isolated stages — same attribution contract and "
+                         "checksum caveats as profile_ecoli10b --prefix")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +81,22 @@ def main():
         if os.environ.get("HIPRFISH_2D_SCAN_CAP") else {}))
     print(f"# fixture {size}x{size} on {jax.devices()[0].device_kind}",
           file=sys.stderr)
+
+    if args.prefix:
+        names = ["register", "nlm", "enhance", "kmeans", "seeds", "ccl",
+                 "markers", "watershed", ""]
+        prev = 0.0
+        for nm in names:
+            # segment_lpcv_device is a plain function (jitted only via its
+            # fov_step caller) — jit here or it dispatches op-by-op.
+            fn = jax.jit(lambda st, _nm=nm: fused.segment_lpcv_device(
+                st, None, cfg, max_cells, True, True, _nm)[0])
+            t, _ = device_time_ms(fn, stack, n=3, reps=3, warmup=1)
+            label = nm or "FULL segment_lpcv_device"
+            print(f"{label:<28} cum {t:8.1f} ms   delta {t - prev:8.1f} ms",
+                  flush=True)
+            prev = t
+        return
 
     stages = {}
 
