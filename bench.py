@@ -37,6 +37,43 @@ from hiprfish_tpu.utils.platform import apply_compile_cache_env, \
 maybe_register_pinned_axon_session()
 apply_compile_cache_env()
 
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+
+def _cached_fov(tag: str, builder):
+    """Disk-cache a host-built synthetic FOV fixture under ``.bench_cache``.
+
+    The two 2000^2 fixture builds cost 95.6 s + 80.9 s of host time in the
+    BENCH_r04 driver run — the proximate cause of its rc=124 timeout. The
+    pixels are a pure function of the generator params, so they are
+    write-once: the ``tag`` must encode every param that shapes the pixels
+    (bump its version suffix when the generator changes). Delete
+    ``.bench_cache/fov_*.npz`` to force a rebuild."""
+    path = os.path.join(CACHE_DIR, f"fov_{tag}.npz")
+    if os.path.exists(path):
+        t0 = time.time()
+        with np.load(path) as z:
+            fov = {
+                "stack": [z[f"stack_{i}"] for i in range(int(z["n_lasers"]))],
+                "truth_labels": z["truth_labels"],
+            }
+        print(f"# fixture {tag} loaded from cache ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+        return fov
+    t0 = time.time()
+    fov = builder()
+    print(f"# fixture {tag} built in {time.time()-t0:.1f}s (caching to "
+          f"disk)", file=sys.stderr)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, n_lasers=len(fov["stack"]),
+             truth_labels=fov["truth_labels"],
+             **{f"stack_{i}": np.asarray(a, np.float32)
+                for i, a in enumerate(fov["stack"])})
+    os.replace(tmp, path)
+    return {"stack": fov["stack"], "truth_labels": fov["truth_labels"]}
+
 
 def _barcode_accuracy(seg_np, truth, codes_pred, cell_codes, codebook,
                       layout, n_found: int, max_cells: int):
@@ -89,8 +126,7 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
     # reruns skip training; delete .bench_cache to force a rebuild.
     from hiprfish_tpu.models.artifacts import load_classifier, save_classifier
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache")
+    cache_dir = CACHE_DIR
     clf_path = os.path.join(
         cache_dir, f"reference_simulate_{spc}_excitation_adjusted_"
         "normalized_violet_derivative_umap_transform.npz")
@@ -147,15 +183,15 @@ def bench_ecoli_10bit(size: int = 2000, n_cells: int = 400,
         daemon=True)
     warm_t.start()
 
-    t0 = time.time()
-    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=2,
-                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0),
-                                           (1, 1)],
-                             cell_axes=(9.0, 14.0))
+    fov = _cached_fov(
+        f"10b_{size}_{n_cells}_v1",
+        lambda: synthetic.make_fov(
+            layout, cell_codes, shape=(size, size), seed=2,
+            laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0), (1, 1)],
+            cell_axes=(9.0, 14.0)))
     stack = tuple(jax.device_put(np.asarray(a, np.float32))
                   for a in fov["stack"])
     jax.block_until_ready(stack)
-    print(f"# [10b] fixture built in {time.time()-t0:.1f}s", file=sys.stderr)
     warm_t.join()
 
     step = lambda: fused_ecoli.fov_step_ecoli(stack, clf_arrays, cfg,
@@ -221,20 +257,30 @@ def main():
 
     # Train a 127-code classifier from simulated reference spectra (needs
     # no fixture — run it first so the engine compile can overlap the
-    # fixture build below).
-    spectra_lut = synthetic.fluorophore_spectra(layout)
-    rows, code_strs = [], []
-    for c in all_codes:
-        spec = synthetic.barcode_spectrum(layout, c, spectra_lut)
-        r = rng.uniform(0.7, 1.3, (50, 1)) * spec[None, :] \
-            + rng.randn(50, layout.n_channels) * 0.02
-        rows.append(np.clip(r, 0, None))
-        code_strs += [layout.code_str(c)] * 50
-    spectra = np.concatenate(rows).astype(np.float32)
-    spectra = spectra / np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
-    checks = mtrain.check_bits_for_codes(layout, code_strs)
-    clf = train_classifier(jax.random.PRNGKey(0), layout, spectra, code_strs,
-                           checks, ClassifierConfig(check_train_steps=300))
+    # fixture build below). Cached on disk like the 10-bit one.
+    from hiprfish_tpu.models.artifacts import load_classifier, save_classifier
+
+    clf_path = os.path.join(CACHE_DIR, "bench_headline_7b_127x50_v1.npz")
+    if os.path.exists(clf_path):
+        clf = load_classifier(clf_path)
+    else:
+        spectra_lut = synthetic.fluorophore_spectra(layout)
+        rows, code_strs = [], []
+        for c in all_codes:
+            spec = synthetic.barcode_spectrum(layout, c, spectra_lut)
+            r = rng.uniform(0.7, 1.3, (50, 1)) * spec[None, :] \
+                + rng.randn(50, layout.n_channels) * 0.02
+            rows.append(np.clip(r, 0, None))
+            code_strs += [layout.code_str(c)] * 50
+        spectra = np.concatenate(rows).astype(np.float32)
+        spectra = spectra / np.maximum(
+            spectra.max(axis=1, keepdims=True), 1e-12)
+        checks = mtrain.check_bits_for_codes(layout, code_strs)
+        clf = train_classifier(jax.random.PRNGKey(0), layout, spectra,
+                               code_strs, checks,
+                               ClassifierConfig(check_train_steps=300))
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        save_classifier(clf_path, clf)
     clf_arrays, clf_static = fused.classifier_to_device_args(clf)
     print(f"# classifier: {len(clf.codebook)} codes, "
           f"{clf.train_features.shape[0]} reference rows", file=sys.stderr)
@@ -259,17 +305,17 @@ def main():
         daemon=True)
     warm_t.start()
 
-    t0 = time.time()
-    fov = synthetic.make_fov(layout, cell_codes, shape=(size, size), seed=1,
-                             laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0)],
-                             cell_axes=(7.0, 12.0))
+    fov = _cached_fov(
+        f"7b_{size}_{n_cells}_v1",
+        lambda: synthetic.make_fov(
+            layout, cell_codes, shape=(size, size), seed=1,
+            laser_shifts=[(0, 0), (2, -1), (0, 3), (-2, 0)],
+            cell_axes=(7.0, 12.0)))
     # Stage the FOV on device once (production loaders stream FOVs ahead of
     # compute; the benchmark measures the on-chip pipeline).
     stack = tuple(jax.device_put(np.asarray(a, np.float32))
                   for a in fov["stack"])
     jax.block_until_ready(stack)
-    print(f"# synthetic FOV {size}x{size}, {n_cells} cells, built in "
-          f"{time.time()-t0:.1f}s", file=sys.stderr)
     warm_t.join()
 
     step = lambda: fused.fov_step(stack, clf_arrays, cfg, max_cells,
@@ -329,6 +375,60 @@ def main():
         "cells": int(out.n_cells),
         "device": str(jax.devices()[0]),
     }
+
+    # Out-of-distribution accuracy scene (VERDICT r04 #7): the classifier
+    # and the in-distribution fixture share the same generative family, so
+    # the 1.0000 above measures self-consistency. This scene shifts the
+    # distribution along four axes the classifier was NOT fit on — wider
+    # PSF (sigma 1.6 px blur), a 2D illumination gradient (0.52x..1.62x
+    # corner-to-corner), +-1-channel spectral crosstalk (12% bleed, a
+    # shifted covariance), and a different cell-size distribution
+    # (5.5 x 16 px axes vs 7 x 12) — then reports accuracy through the
+    # SAME compiled engine. Mirrors the reference's validation posture:
+    # known-barcode ground truth on messy images
+    # (hiprfish_imaging_collect_measurement_results.py:43-67).
+    if os.environ.get("BENCH_OOD", "1") != "0":
+        ood_codes = [all_codes[(i * 13) % 127] for i in range(n_cells)]
+
+        def _build_ood():
+            from scipy.ndimage import gaussian_filter
+            f = synthetic.make_fov(
+                layout, ood_codes, shape=(size, size), seed=7,
+                laser_shifts=[(0, 0), (-3, 2), (1, -2), (2, 2)],
+                cell_axes=(5.5, 16.0), noise=0.02)
+            gy = (0.65 + 0.7 * np.linspace(0, 1, size))[:, None, None]
+            gx = (0.8 + 0.4 * np.linspace(0, 1, size))[None, :, None]
+            planes = []
+            for plane in f["stack"]:
+                p = (plane * gy * gx).astype(np.float32)
+                p = gaussian_filter(p, sigma=(1.6, 1.6, 0))
+                q = 0.76 * p
+                q[:, :, 1:] += 0.12 * p[:, :, :-1]
+                q[:, :, :-1] += 0.12 * p[:, :, 1:]
+                planes.append(q.astype(np.float32))
+            return {"stack": planes, "truth_labels": f["truth_labels"]}
+
+        oodf = _cached_fov(f"7b_ood_{size}_{n_cells}_v1", _build_ood)
+        stack_o = tuple(jax.device_put(np.asarray(a, np.float32))
+                        for a in oodf["stack"])
+        jax.block_until_ready(stack_o)
+        out_o = fused.fov_step(stack_o, clf_arrays, cfg, max_cells,
+                               clf_static, True)
+        out_o.segmentation.block_until_ready()
+        c_o, t_o = _barcode_accuracy(
+            np.asarray(out_o.segmentation), oodf["truth_labels"],
+            np.asarray(out_o.code_idx), ood_codes, list(clf.codebook),
+            layout, int(out_o.n_cells), max_cells)
+        extra["ood"] = {
+            "accuracy": round(c_o / max(t_o, 1), 4),
+            "matched_cells": t_o,
+            "cells": int(out_o.n_cells),
+            "shifts": "psf_blur=1.6px, illum_gradient=0.52-1.62x, "
+                      "crosstalk=12% +-1ch, cell_axes=5.5x16",
+        }
+        print(f"# OOD scene accuracy: {c_o}/{t_o} = "
+              f"{c_o / max(t_o, 1):.4f} ({int(out_o.n_cells)} cells found)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "segment+classify throughput (2000x2000 4-laser FOV, "
@@ -455,21 +555,33 @@ def _run_config_with_retry(config: str, timeout_s: int = 1500):
 
 
 def orchestrate():
+    """Run every config and print the headline JSON line INCREMENTALLY: a
+    complete, parseable metric line is (re)printed after each config lands,
+    so a driver timeout mid-run still leaves the last line holding every
+    number that completed (BENCH_r04.json was rc=124 with ``parsed: null``
+    because the single final print never executed). Last-line-wins: each
+    line supersedes the previous one."""
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
     headline = _run_config_with_retry("headline")
     if "extra" not in headline:
-        print(json.dumps(headline))
+        emit(headline)
         return
+    emit(headline)
     if os.environ.get("BENCH_10B", "1") != "0":
         headline["extra"]["ecoli_10bit"] = _run_config_with_retry("10b")
+        emit(headline)
     # CLI timing runs BEFORE the 3D config: measured right after the 3D
     # subprocess both CLI children ran ~3-14x slower (121/176 s vs the
     # clean 265-cold/12.6-warm), i.e. the 3D run leaves the shared
     # terminal session in a state the next process pays for.
     if os.environ.get("BENCH_CLI", "1") != "0":
         headline["extra"]["cli_fresh_process"] = bench_cli_fresh_process()
+        emit(headline)
     if os.environ.get("BENCH_3D", "1") != "0":
         headline["extra"]["volume_3d"] = _run_config_with_retry("3d")
-    print(json.dumps(headline))
+        emit(headline)
 
 
 if __name__ == "__main__":
