@@ -37,7 +37,8 @@ def measure_reference_images(image_names, cal_toggle="F",
         seg, n_cells, registered, _ = fused_ecoli.segment_ecoli_device(
             tuple(jnp.asarray(a) for a in stack), cfg, max_cells)
         res = segment2d.Segmentation2D(
-            seg, n_cells, registered, jnp.sum(registered, axis=2),
+            seg, n_cells, registered,
+            jnp.sum(registered.astype(jnp.float32), axis=2),
             jnp.zeros(seg.shape), jnp.zeros_like(seg),
             jnp.zeros(seg.shape, bool))
     else:

@@ -128,6 +128,19 @@ class SegmentationConfig:
     # anyway — with ~16x cheaper FFTs at 2000^2; 0 disables and correlates
     # the full frame like the reference).
     register_crop: int = 512
+    # Storage dtype of the registered multi-channel cube inside the FUSED
+    # device engines (pipeline/fused.py, fused_ecoli.py). The cube is the
+    # pipelines' largest buffer (1.5 GB at 2000^2 x 95 f32) and is consumed
+    # only by per-cell spectral sums; bfloat16 halves the roll/concat/stats
+    # HBM traffic (register stage 18.6 -> 12.3 ms measured, exp_register).
+    # Quantization (~2^-9 relative per pixel) averages out over each cell's
+    # ~200 px: barcode calls are identical on the 2000^2 bench fixtures and
+    # the fused-vs-host equivalence tests assert call agreement. The
+    # host-composed engines (segment2d, the CPU/parity path) always measure
+    # in float32; set "float32" here to match them bit-for-bit.
+    registered_dtype: str = "bfloat16"
+    # KMeans/log-sum inputs always stay float32: the per-laser 2D channel
+    # sums are computed from the raw planes BEFORE quantization.
 
     # NL-means denoising (multispecies_spectral_image_measurement.py:108)
     nlm_h: float = 0.02

@@ -345,20 +345,15 @@ def _use_pallas() -> bool:
 
 def _label_stats_pallas_call(labels, image, aux, image_mask, num_segments,
                              width, band_px, aux_classes, moments):
-    """Adapter: pack the mask as the image's last channel (static input
-    count), run the kernel, unpack the column order of the XLA path."""
+    """Adapter: run the kernel (image in its own dtype, mask as a separate
+    input), unpack the column order of the XLA path."""
     from hiprfish_tpu.ops import segstats_pallas as sp
 
     shape = labels.shape
     h, w = shape[0], int(labels.size // shape[0])
     has_mask = image_mask is not None
-    img = image
-    if has_mask:
-        m = image_mask.astype(jnp.float32)[..., None]
-        img = m if image is None else jnp.concatenate(
-            [image.astype(jnp.float32), m], axis=-1)
     acc, spilled = sp.stats_pallas(
-        labels, img, aux, num_segments, width, band_px,
+        labels, image, aux, image_mask, num_segments, width, band_px,
         aux_classes if aux is not None else 0, moments, has_mask, h, w)
     nmom = 5 if moments else 0
     nchan = 0 if image is None else image.shape[-1]

@@ -75,11 +75,22 @@ def _stats_kernel(lab_ref, *rest, acc, spill, out_ref, spill_ref,
                   nsteps, band_px, width, num_segments, n, h, w,
                   nchan, aux_classes, moments, has_mask):
     """BANDS_PER_STEP bands per grid step; ``rest`` holds (img_ref?,
-    aux_ref?) by presence. img carries the mask as its LAST channel when
-    has_mask."""
+    aux_ref?, mask_ref?) by presence. The image block stays in its caller
+    dtype (f32 or bf16 — the fused engines' registered cube) and is cast
+    per band in registers; the mask is a separate (band) input instead of
+    a packed channel, so no concatenated HBM copy of the image ever
+    materializes (it was a full extra read+write of the largest buffer)."""
     i = pl.program_id(0)
-    img_ref = rest[0] if (nchan or has_mask) else None
-    aux_ref = rest[1 if img_ref is not None else 0] if aux_classes else None
+    k = 0
+    img_ref = None
+    if nchan:
+        img_ref = rest[k]
+        k += 1
+    aux_ref = None
+    if aux_classes:
+        aux_ref = rest[k]
+        k += 1
+    mask_ref = rest[k] if has_mask else None
 
     @pl.when(i == 0)
     def _():
@@ -110,15 +121,14 @@ def _stats_kernel(lab_ref, *rest, acc, spill, out_ref, spill_ref,
             cf = col.astype(jnp.float32)
             cols.append(jnp.concatenate(
                 [rf, cf, rf * rf, cf * cf, rf * cf], axis=1))
+        mb = None
+        if mask_ref is not None:
+            mb = mask_ref[pl.ds(b, 1), :].reshape(band_px, 1)
         if img_ref is not None:
-            ib = img_ref[pl.ds(b, 1)][0]                 # (band_px, C[+1])
-            if has_mask:
-                mb = ib[:, nchan:nchan + 1]
-                if nchan:
-                    cols.append(ib[:, :nchan] * mb)
-                cols.append(mb)
-            else:
-                cols.append(ib)
+            ib = img_ref[pl.ds(b, 1)][0].astype(jnp.float32)  # (band_px, C)
+            cols.append(ib if mb is None else ib * mb)
+        if mb is not None:
+            cols.append(mb)
         feat = jnp.concatenate(cols, axis=1)
         part = _split_dot_kernel(oh, feat)               # (width, ncols)
         if aux_classes:
@@ -154,17 +164,19 @@ def _stats_kernel(lab_ref, *rest, acc, spill, out_ref, spill_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
-def stats_pallas(labels, image, aux, num_segments: int, width: int,
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def stats_pallas(labels, image, aux, mask, num_segments: int, width: int,
                  band_px: int, aux_classes: int, moments: bool,
                  has_mask: bool, h: int, w: int, interpret: bool = False):
     """Banded one-hot label stats on TPU.
 
-    ``labels``: any shape, flattened internally. ``image``: (..., C[+1]) f32
-    with the 0/1 mask appended as the last channel when ``has_mask`` (the
-    caller packs it — keeps the kernel's input count static). ``aux``: int32
-    image in [0, aux_classes). Returns (acc (num_segments, ncols) f32,
-    spilled bool) with the column order of segstats._label_stats_windowed:
+    ``labels``: any shape, flattened internally. ``image``: (..., C) in f32
+    or bf16 — kept in its own dtype end-to-end (cast happens per band in
+    kernel registers). ``mask``: optional labels-shaped 0/1 array, its own
+    input (packing it as an image channel forced a concatenated HBM copy of
+    the largest buffer). ``aux``: int32 image in [0, aux_classes). Returns
+    (acc (num_segments, ncols) f32, spilled bool) with the column order of
+    segstats._label_stats_windowed:
     [count, border, moments*5?, channel sums, aux hist?, mask count?].
     """
     n = labels.size
@@ -181,20 +193,26 @@ def stats_pallas(labels, image, aux, num_segments: int, width: int,
     inputs = [lab_b]
     in_specs = [pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0))]
     if image is not None:
-        nchan = image.shape[-1] - (1 if has_mask else 0)
-        cc = image.shape[-1]
-        img_f = image.reshape(-1, cc).astype(jnp.float32)
+        nchan = image.shape[-1]
+        img_f = image.reshape(-1, nchan)
         if pad:
             img_f = jnp.pad(img_f, ((0, pad), (0, 0)))
-        inputs.append(img_f.reshape(nb, band_px, cc))
+        inputs.append(img_f.reshape(nb, band_px, nchan))
         in_specs.append(
-            pl.BlockSpec((BANDS_PER_STEP, band_px, cc),
+            pl.BlockSpec((BANDS_PER_STEP, band_px, nchan),
                          lambda i: (i, 0, 0)))
     if aux is not None:
         aux_f = aux.reshape(-1).astype(jnp.int32)
         if pad:
             aux_f = jnp.pad(aux_f, (0, pad))
         inputs.append(aux_f.reshape(nb, band_px))
+        in_specs.append(
+            pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)))
+    if mask is not None:
+        m_f = mask.reshape(-1).astype(jnp.float32)
+        if pad:
+            m_f = jnp.pad(m_f, (0, pad))
+        inputs.append(m_f.reshape(nb, band_px))
         in_specs.append(
             pl.BlockSpec((BANDS_PER_STEP, band_px), lambda i: (i, 0)))
 

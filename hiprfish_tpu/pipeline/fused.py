@@ -69,7 +69,17 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
     else:
         _crop = lambda im: im
     cref = _crop(ref0)
-    parts = [stack[0]]
+    # The registered cube is consumed only by the per-cell spectral sums;
+    # cfg.registered_dtype (default bf16) halves its roll/concat/stats HBM
+    # traffic (tools/exp_register.py). The KMeans/NLM input (fov_sum) is
+    # built from the f32 per-laser 2D sums — already computed for
+    # registration — rolled by the same shifts (sum of roll == roll of
+    # sum), not by re-reading the cube. The calibrated path keeps f32 and
+    # the cube-sum (flat-field division changes the channel weighting).
+    reg_dt = jnp.dtype(cfg.registered_dtype) if calibration is None \
+        else jnp.float32
+    parts = [stack[0].astype(reg_dt)]
+    fov_sum = projections[0]
     for i in range(1, len(stack)):
         s = reg.register_translation(cref, _crop(projections[i]))
         if cfg.clamp_shift:
@@ -77,15 +87,17 @@ def segment_lpcv_device(stack, calibration, cfg: SegmentationConfig,
             # (the reference clamps the ecoli path the same way,
             # spectral_image_measurement.py:54-57)
             s = reg.clamp_shift(s, cfg.max_shift)
-        shifted, _ = reg.apply_shift_2d(stack[i], s)
+        shifted, _ = reg.apply_shift_2d(stack[i].astype(reg_dt), s)
         parts.append(shifted)
+        fov_sum = fov_sum + reg.apply_shift_2d(projections[i], s)[0]
     registered = jnp.concatenate(parts, axis=2)
     if calibration is not None:
         registered = registered / calibration
     # Materialize ONCE (same hazard as fused_ecoli: the unaligned lane-dim
     # laser concat otherwise re-fuses into the downstream stats pack).
     registered = jax.lax.optimization_barrier(registered)
-    fov_sum = jnp.sum(registered, axis=2)
+    if calibration is not None:
+        fov_sum = jnp.sum(registered, axis=2)
     sum_norm = fov_sum / jnp.maximum(jnp.max(fov_sum), 1e-12)
     if stop_after == 'register':
         return _ck(sum_norm), registered

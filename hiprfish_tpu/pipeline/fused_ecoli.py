@@ -53,34 +53,49 @@ def segment_ecoli_device(stack, cfg: SegmentationConfig = SegmentationConfig(),
         # in the docstring.
         return jnp.sum(x.astype(jnp.float32))
 
-    projections = [jnp.max(img, axis=2) for img in stack]
-    ref0 = projections[0]
+    h, w = stack[0].shape[0], stack[0].shape[1]
     # FFT registration on a centered power-of-two crop (config.register_crop,
     # same integer shift for rigid stage drift, ~3x cheaper FFTs at 2000^2).
+    # The raw planes are cropped BEFORE the max projection: the projection
+    # is only ever consumed at the crop, and XLA does not sink the slice
+    # through the reduce — the full-plane max was 1.4 GB of dead HBM read
+    # (18.6 -> 16.9 ms register stage, tools/exp_register.py).
     c = cfg.register_crop
-    h, w = ref0.shape
     if c and h > c and w > c:
         r0, c0 = (h - c) // 2, (w - c) // 2
-        _crop = lambda im: jax.lax.slice(im, (r0, c0), (r0 + c, c0 + c))
+        _crop3 = lambda im: jax.lax.slice(
+            im, (r0, c0, 0), (r0 + c, c0 + c, im.shape[2]))
     else:
-        _crop = lambda im: im
-    cref = _crop(ref0)
-    parts = [stack[0]]
-    overlap = jnp.ones(ref0.shape, bool)
+        _crop3 = lambda im: im
+    projections = [jnp.max(_crop3(img), axis=2) for img in stack]
+    cref = projections[0]
+    # The 95-ch registered cube is consumed only by the per-cell spectral
+    # sums; cfg.registered_dtype (default bf16) halves its roll/concat/
+    # stats traffic. The KMeans input (fov_sum -> log) is built from f32
+    # per-laser 2D channel sums instead of re-reading the cube: sum of roll
+    # == roll of sum, and the overlap mask distributes over the laser sum
+    # (overlap = AND of the per-laser valid masks).
+    reg_dt = jnp.dtype(cfg.registered_dtype)
+    sums2d = [jnp.sum(img, axis=2) for img in stack]
+    parts = [stack[0].astype(reg_dt)]
+    fov_sum = sums2d[0]
+    overlap = jnp.ones((h, w), bool)
     for i in range(1, len(stack)):
-        s = reg.register_translation(cref, _crop(projections[i]))
+        s = reg.register_translation(cref, projections[i])
         if cfg.clamp_shift:
             s = reg.clamp_shift(s, cfg.max_shift)
-        shifted, mask = reg.apply_shift_2d(stack[i], s)
+        shifted, mask = reg.apply_shift_2d(stack[i].astype(reg_dt), s)
         parts.append(shifted)
+        fov_sum = fov_sum + reg.apply_shift_2d(sums2d[i], s)[0]
         overlap = overlap & mask
-    registered = jnp.concatenate(parts, axis=2) * overlap[:, :, None]
+    registered = jnp.concatenate(parts, axis=2) \
+        * overlap[:, :, None].astype(reg_dt)
     # Materialize ONCE: the 5-laser lane-dim concat sits at unaligned channel
     # offsets, and without the barrier XLA re-fuses this whole registration
     # chain into the stats kernel's operand pack — measured +68 ms on the
     # full program at 2000^2x95 (prefix attribution, PROFILE_r03.md).
     registered = jax.lax.optimization_barrier(registered)
-    fov_sum = jnp.sum(registered, axis=2)
+    fov_sum = fov_sum * overlap
     image_cn = jnp.log(fov_sum + 1e-2)
     if stop_after == 'register':
         return _ck(image_cn)

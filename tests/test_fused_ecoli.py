@@ -34,8 +34,51 @@ def test_fused_ecoli_matches_host_engine():
         mask_b = b == best
         iou = (mask_a & mask_b).sum() / (mask_a | mask_b).sum()
         assert best > 0 and iou > 0.8, (lab_id, best, iou)
-    np.testing.assert_allclose(np.asarray(reg_f),
-                               np.asarray(res_h.registered), rtol=1e-5)
+    # The fused engine stores the registered cube in cfg.registered_dtype
+    # (bf16 by default): values are the host engine's, quantized.
+    np.testing.assert_allclose(
+        np.asarray(reg_f, np.float32), np.asarray(res_h.registered),
+        rtol=8e-3, atol=1e-3)
+    # The measurement the bf16 cube feeds must land on the SAME barcode
+    # calls as the host engine's f32 measurement (pins the quantization
+    # risk of cfg.registered_dtype at the call level, where parity lives).
+    import jax
+
+    from hiprfish_tpu.config import ClassifierConfig
+    from hiprfish_tpu.models import train as mtrain
+    from hiprfish_tpu.models.classifier import train_classifier
+    from hiprfish_tpu.pipeline import measure as pmeasure
+
+    rng = np.random.RandomState(0)
+    lut = synthetic.fluorophore_spectra(TEN_BIT)
+    rows, code_strs = [], []
+    for c in CODES:
+        spec = synthetic.barcode_spectrum(TEN_BIT, c, lut)
+        r = rng.uniform(0.7, 1.3, (40, 1)) * spec[None, :] \
+            + rng.randn(40, TEN_BIT.n_channels) * 0.02
+        rows.append(np.clip(r, 0, None))
+        code_strs += [TEN_BIT.code_str(c)] * 40
+    spectra = np.concatenate(rows).astype(np.float32)
+    spectra /= np.maximum(spectra.max(axis=1, keepdims=True), 1e-12)
+    spectra = np.concatenate(
+        [spectra, np.diff(spectra[:, :32], axis=1)], axis=1)
+    checks = mtrain.check_bits_for_codes(TEN_BIT, code_strs)
+    clf = train_classifier(jax.random.PRNGKey(0), TEN_BIT, spectra,
+                           code_strs, checks,
+                           ClassifierConfig(check_train_steps=200),
+                           violet_derivative=True)
+    _, norm_h = pmeasure.measure_fov(
+        res_h.segmentation, res_h.registered, int(res_h.n_cells), 256)
+    avg_f = np.asarray(avg_f)[1:len(CODES) + 1]
+    norm_f = avg_f / np.maximum(avg_f.max(axis=1, keepdims=True), 1e-12)
+    calls_f, _, _, _ = clf.classify(jnp.asarray(norm_f, jnp.float32))
+    # host cells may be ordered differently: map via best-overlap
+    order = []
+    for lab_id in range(1, len(CODES) + 1):
+        ids, cnt = np.unique(b[a == lab_id], return_counts=True)
+        order.append(int(ids[np.argmax(cnt)]) - 1)
+    calls_h, _, _, _ = clf.classify(jnp.asarray(norm_h[order], jnp.float32))
+    assert list(calls_f) == list(calls_h)
 
 
 @pytest.mark.slow

@@ -101,10 +101,9 @@ def test_stats_pallas_interpret_full_columns():
     img = rng.rand(h, w, C).astype(np.float32)
     mask = (rng.rand(h, w) > 0.5).astype(np.float32)
     aux = rng.randint(0, A, (h, w)).astype(np.int32)
-    packed = np.concatenate([img, mask[..., None]], axis=-1)
     acc, spill = sp.stats_pallas(
-        jnp.asarray(lab), jnp.asarray(packed), jnp.asarray(aux),
-        nseg, width, band_px, A, True, True, h, w, True)
+        jnp.asarray(lab), jnp.asarray(img), jnp.asarray(aux),
+        jnp.asarray(mask), nseg, width, band_px, A, True, True, h, w, True)
     assert not bool(spill)
     acc = np.asarray(acc)
     flat = lab.reshape(-1)

@@ -68,7 +68,7 @@ def main():
     for width in (256, 512):
         for bpx in (8192, 16384):
             ms = t(jax.jit(lambda s, r, w=width, b=bpx: sp.stats_pallas(
-                s, r, None, pre, w, b, 0, False, False, H, W)[0]), seg, img)
+                s, r, None, None, pre, w, b, 0, False, False, H, W)[0]), seg, img)
             print(f"stats_pallas w={width} band={bpx:<6} {ms:7.1f} ms",
                   flush=True)
 

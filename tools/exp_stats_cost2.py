@@ -54,11 +54,11 @@ def main():
 
     for width in (128, 256):
         for bpx in (8192,):
-            out = sp.stats_pallas(seg, img, None, pre, width, bpx, 0,
+            out = sp.stats_pallas(seg, img, None, None, pre, width, bpx, 0,
                                   False, False, H, W)
             err = float(np.abs(np.asarray(out[0][:, 2:]) - ref).max())
             ms = t(jax.jit(lambda s, r, w=width, b=bpx: sp.stats_pallas(
-                s, r, None, pre, w, b, 0, False, False, H, W)[0]), seg, img)
+                s, r, None, None, pre, w, b, 0, False, False, H, W)[0]), seg, img)
             print(f"stats_pallas(cl) w={width:<4} band={bpx:<6} {ms:7.1f} ms"
                   f"  maxerr={err:.2e}", flush=True)
 
@@ -91,7 +91,7 @@ def main():
     # counts-only floor at both widths
     for width in (128, 256):
         ms = t(jax.jit(lambda s, w=width: sp.stats_pallas(
-            s, None, None, pre, w, 8192, 0, False, False, H, W)[0]), seg)
+            s, None, None, None, pre, w, 8192, 0, False, False, H, W)[0]), seg)
         print(f"counts-only  w={width:<4}          {ms:7.1f} ms", flush=True)
 
 
