@@ -14,39 +14,44 @@ from . import pipelines as rp
 def match_cells(seg_a: np.ndarray, seg_b: np.ndarray):
     """Greedy max-overlap matching of labels in seg_a to labels in seg_b.
     Returns list of (label_a, label_b, iou) for every a-label with any
-    overlap, plus the count of a-labels with none."""
-    seg_a = np.asarray(seg_a)
-    seg_b = np.asarray(seg_b)
-    ids_a = np.unique(seg_a)
-    ids_a = ids_a[ids_a > 0]
-    area_b = np.bincount(seg_b.ravel())
-    pairs = []
-    unmatched = 0
-    for a in ids_a:
-        mask = seg_a == a
-        overl = seg_b[mask]
-        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
-        if len(vals) == 0:
-            unmatched += 1
-            continue
-        b = int(vals[np.argmax(cnt)])
-        inter = int(cnt.max())
-        union = int(mask.sum()) + int(area_b[b]) - inter
-        pairs.append((int(a), b, inter / union))
-    return pairs, unmatched
+    overlap, plus the count of a-labels with none.
+
+    Vectorized via ONE packed np.unique contingency pass: the per-a-label
+    ``seg_b[seg_a == a]`` loop re-scanned the full FOV per cell — the
+    dominant host cost of the 2000^2 x 441-cell parity harness (~minutes
+    per FOV). Tie-breaking matches the loop formulation exactly (smallest
+    b among max-overlap candidates)."""
+    a = np.asarray(seg_a).ravel().astype(np.int64)
+    b = np.asarray(seg_b).ravel().astype(np.int64)
+    area_a = np.bincount(a)
+    area_b = np.bincount(b)
+    n_ids_a = int((area_a[1:] > 0).sum())
+    sel = a > 0
+    packed = (a[sel] << 32) | b[sel]
+    vals, cnt = np.unique(packed, return_counts=True)
+    av = (vals >> 32).astype(np.int64)
+    bv = (vals & 0xFFFFFFFF).astype(np.int64)
+    pos = bv > 0
+    av, bv, cnt = av[pos], bv[pos], cnt[pos]
+    if len(av) == 0:
+        return [], n_ids_a
+    # per a-label: the (count-max, smallest-b-on-tie) overlap partner
+    order = np.lexsort((-bv, cnt, av))
+    av, bv, cnt = av[order], bv[order], cnt[order]
+    last = np.r_[av[1:] != av[:-1], True]
+    best_a, best_b, inter = av[last], bv[last], cnt[last]
+    union = area_a[best_a] + area_b[best_b] - inter
+    pairs = [(int(aa), int(bb), float(ii) / float(uu))
+             for aa, bb, ii, uu in zip(best_a, best_b, inter, union)]
+    return pairs, n_ids_a - len(pairs)
 
 
 def truth_code_per_label(seg: np.ndarray, truth_labels: np.ndarray,
                          barcodes) -> dict:
-    """label -> planted barcode id via max-overlap with ground truth."""
-    out = {}
-    ids = np.unique(seg)
-    for lab in ids[ids > 0]:
-        overl = truth_labels[seg == lab]
-        vals, cnt = np.unique(overl[overl > 0], return_counts=True)
-        if len(vals):
-            out[int(lab)] = barcodes[int(vals[np.argmax(cnt)]) - 1]
-    return out
+    """label -> planted barcode id via max-overlap with ground truth
+    (vectorized like match_cells; same smallest-id tie-break)."""
+    pairs, _ = match_cells(seg, truth_labels)
+    return {lab: barcodes[t - 1] for lab, t, _ in pairs}
 
 
 def segmentation_parity(fov: dict, pipeline: str, max_cells: int = 512):
@@ -93,11 +98,19 @@ def segmentation_parity(fov: dict, pipeline: str, max_cells: int = 512):
         v = norm_tpu[b - 1]
         cos.append(float(
             u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-30)))
+    # Doublet-merge sentinel (ADVICE r04: the fused ecoli engine's
+    # single-cleanup erosion seeding can diverge from the exact per-round
+    # loop on pathological touching pairs): ref cells whose best-overlap
+    # TPU label is SHARED with another ref cell — a regression in the
+    # touching-pair split shows up here before it dents the 0.5% budget.
+    b_ids = [b for _, b, _ in pairs]
+    merged = len(b_ids) - len(set(b_ids))
     metrics = {
         "n_cells_ref": n_ref,
         "n_cells_tpu": n_tpu,
         "matched": len(pairs),
         "unmatched_ref": unmatched,
+        "ref_pairs_merged_in_tpu": merged,
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
         "min_iou": float(np.min(ious)) if ious else 0.0,
         "mean_spectrum_cos": float(np.mean(cos)) if cos else 0.0,
@@ -139,7 +152,8 @@ class TpuOracleTwin:
             np.asarray(ref_clf.train_features, np.float32))
         self.codes = np.asarray(ref_clf.train_codes)
 
-    def predict(self, avgint_norm: np.ndarray, k: int = 25) -> np.ndarray:
+    def predict(self, avgint_norm: np.ndarray, k: int = 25,
+                return_votes: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -160,15 +174,22 @@ class TpuOracleTwin:
             self.scale, "one")
         _, idx = jax.lax.top_k(-d, min(k, d.shape[1]))
         idx = np.asarray(idx)
-        out = []
+        out, votes = [], []
         for i in range(idx.shape[0]):
             codes, counts = np.unique(self.codes[idx[i]], return_counts=True)
             out.append(codes[np.argmax(counts)])
+            if return_votes:
+                order = np.argsort(-counts)
+                votes.append({str(codes[j]): int(counts[j])
+                              for j in order[:4]})
+        if return_votes:
+            return np.asarray(out), votes
         return np.asarray(out)
 
 
 def classification_parity(bundle: dict, fov: dict, barcodes,
-                          ref_clf, tpu_clf, twin: "TpuOracleTwin" = None):
+                          ref_clf, tpu_clf, twin: "TpuOracleTwin" = None,
+                          collect_disagreements: bool = False):
     """Barcode agreement between the oracle classifier and the TPU
     classifier, plus each side's accuracy vs planted truth.
 
@@ -226,7 +247,37 @@ def classification_parity(bundle: dict, fov: dict, barcodes,
     for a, b, _ in bundle["pairs"]:
         agree.append(
             calls_ref_clean[bundle["ref_row"][a]] == calls_agree_tpu[b - 1])
+
+    # Per-disagreement forensics (VERDICT r04 weak #6: the habit of not
+    # logging the few disagreeing cells is how the r03 10-cell mystery
+    # happened): IoU, spectrum cosine, both calls, planted truth, and the
+    # twin's kNN vote histograms on both measured spectra.
+    disagreements = []
+    if collect_disagreements and twin is not None:
+        bad = [(a, b, iou) for (a, b, iou), ok in zip(bundle["pairs"], agree)
+               if not ok]
+        if bad:
+            rows_ref = np.stack([norm_ref[bundle["ref_row"][a]]
+                                 for a, _, _ in bad])
+            rows_tpu = np.stack([norm_tpu[b - 1] for _, b, _ in bad])
+            _, votes_ref = twin.predict(rows_ref, return_votes=True)
+            _, votes_tpu = twin.predict(rows_tpu, return_votes=True)
+            for j, (a, b, iou) in enumerate(bad):
+                u, v = rows_ref[j], rows_tpu[j]
+                cosv = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)
+                                      + 1e-30))
+                disagreements.append({
+                    "label_ref": int(a), "label_tpu": int(b),
+                    "iou": round(float(iou), 4),
+                    "spectrum_cos": round(cosv, 6),
+                    "call_ref": str(calls_ref_clean[bundle["ref_row"][a]]),
+                    "call_tpu": str(calls_agree_tpu[b - 1]),
+                    "truth": format(truth_ref.get(int(a), 0), fmt),
+                    "knn_votes_on_ref_spectrum": votes_ref[j],
+                    "knn_votes_on_tpu_spectrum": votes_tpu[j],
+                })
     return {
+        "disagreements": disagreements,
         "same_spectra_agreement": same_spectra_agree,
         "same_spectra_n_agree": int(np.sum(
             calls_ref_clean == calls_tpu_on_ref)) if len(norm_ref) else 0,

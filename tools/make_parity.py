@@ -107,23 +107,55 @@ MISREG_MODERATE = [(0, 0), (6, -5), (-5, 4), (4, 6), (-5, -6)]
 
 
 def fov_scene(layout, codes, i, shifts, cell_axes, spacing,
-              misreg=NEAR_CLAMP):
+              misreg=NEAR_CLAMP, misreg_pedestal: float = 0.0):
     """Scene i of the family sweep: 3 high-noise, 4 mis-registered,
-    everything else nominal noise + small stage drift."""
+    everything else nominal noise + small stage drift.
+
+    ``misreg_pedestal``: smooth illumination-mottle background added to the
+    mis-registered scene (the multispecies family passes 0.04). Root cause
+    of the r04 vacuous scene (VERDICT weak #2), established by the r05
+    stage dumps (tools/diag_ms_stages.py): on a WHITE-noise background the
+    reference's LP-CV enhancement amplifies normalized speckle to ~46%
+    KMeans foreground — ~0.5% below a 2D percolation cliff — and the
+    zero strips its maskless registration writes (multispecies...py:131-143)
+    shift the KMeans split just enough (any drift >= +-3 px at 2000^2)
+    that the opened speckle percolates, fill_holes solidifies 98% of the
+    frame into ONE seed, and the whole scene floods as a single watershed
+    region (oracle n_cells=1; noise AMPLITUDE is irrelevant — LP-CV
+    renormalizes it away, measured at 0.5x noise). Real confocal
+    backgrounds are smooth (illumination mottle + PSF-correlated shot
+    noise), not white: with a sigma-8 mottle pedestal the enhanced
+    foreground is large smooth regions with no percolating speckle and the
+    oracle resolves all 441 cells at full MISREG_MODERATE drift at the
+    nominal touching 27 px pitch (same stage dump). Scenes 0-3 keep the
+    harsher white-noise texture (and the r03/r04 continuity); the ecoli
+    family needs no pedestal — its overlap-masked engine writes no
+    unmasked strips and resolves NEAR_CLAMP drift at full density."""
     noise = 0.01
     fov_shifts = list(shifts)
     if i == 3:
         noise = 0.05
     elif i == 4:
         fov_shifts = misreg[: len(shifts)]
-    return synthetic.make_fov(
+    fov = synthetic.make_fov(
         layout, codes, shape=(FOV_SIZE, FOV_SIZE), seed=100 + i,
         laser_shifts=fov_shifts, cell_axes=cell_axes, noise=noise,
         spacing=spacing)
+    if i == 4 and misreg_pedestal:
+        from scipy.ndimage import gaussian_filter
+        rng = np.random.RandomState(77)
+        out = []
+        for p in fov["stack"]:
+            m = gaussian_filter(
+                rng.randn(p.shape[0], p.shape[1]).astype(np.float32), 8.0)
+            m = 1.0 + m / max(float(np.abs(m).max()), 1e-9)
+            out.append(p + misreg_pedestal * m[:, :, None])
+        fov["stack"] = out
+    return fov
 
 
 def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
-               spacing, misreg=NEAR_CLAMP):
+               spacing, misreg=NEAR_CLAMP, misreg_pedestal: float = 0.0):
     codes = [base_codes[i % len(base_codes)] for i in range(GRID * GRID)]
     # Agreement scores the TPU inference stack on the oracle's own fitted
     # artifacts (harness.TpuOracleTwin) — two independently TRAINED
@@ -132,20 +164,39 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
     # score the production classifier.
     twin = harness.TpuOracleTwin(ref_clf)
     seg_metrics, clf_metrics, ious_all = [], [], []
+    per_fov, disagreements = [], []
     agree_e2e = agree_ss = n_e2e = n_ss = 0
     for i in range(N_FOVS):
-        fov = fov_scene(layout, codes, i, shifts, cell_axes, spacing, misreg)
+        fov = fov_scene(layout, codes, i, shifts, cell_axes, spacing, misreg,
+                        misreg_pedestal)
         t0 = time.time()
         m, bundle = harness.segmentation_parity(
             fov, "ecoli" if name == "ecoli" else "multispecies",
             max_cells=MAX_CELLS)
         c = harness.classification_parity(bundle, fov, codes,
-                                          ref_clf, tpu_clf, twin=twin)
+                                          ref_clf, tpu_clf, twin=twin,
+                                          collect_disagreements=True)
         print(f"[{name} fov {i}] {m['matched']}/{m['n_cells_ref']} matched, "
               f"iou={m['mean_iou']:.3f}, same-spectra "
               f"agree={c['same_spectra_agreement']:.4f}, "
               f"e2e={c['e2e_agreement']:.4f} ({time.time()-t0:.0f}s)",
               file=sys.stderr, flush=True)
+        scene = ("high_noise" if i == 3
+                 else "misregistered" if i == 4 else "nominal")
+        per_fov.append({
+            "fov": i, "scene": scene,
+            "n_cells_ref": m["n_cells_ref"], "n_cells_tpu": m["n_cells_tpu"],
+            "matched": m["matched"],
+            "merged_in_tpu": m["ref_pairs_merged_in_tpu"],
+            "mean_iou": round(m["mean_iou"], 4),
+            "e2e_agree": c["e2e_n_agree"], "e2e_n": c["e2e_n"],
+            "same_spectra_agree": c["same_spectra_n_agree"],
+            "same_spectra_n": c["same_spectra_n"],
+            "ref_truth_accuracy": round(c["ref_truth_accuracy"], 4),
+            "tpu_truth_accuracy": round(c["tpu_truth_accuracy"], 4),
+        })
+        for d in c["disagreements"]:
+            disagreements.append(dict(d, fov=i, scene=scene))
         seg_metrics.append(m)
         clf_metrics.append(c)
         ious_all.extend(p[2] for p in bundle["pairs"])
@@ -165,6 +216,8 @@ def run_family(name, layout, base_codes, shifts, cell_axes, ref_clf, tpu_clf,
         "total_cells_ref": total_cells,
         "total_cells_tpu": int(sum(m["n_cells_tpu"] for m in seg_metrics)),
         "matched_cells": int(sum(m["matched"] for m in seg_metrics)),
+        "per_fov": per_fov,
+        "disagreements": disagreements,
         "mean_iou": agg(seg_metrics, "mean_iou"),
         "min_iou": agg(seg_metrics, "min_iou"),
         "iou_percentiles": {str(q): float(np.percentile(ious_all, q))
@@ -275,7 +328,8 @@ def main():
         "multispecies_7b": run_family(
             "multispecies", SEVEN_BIT, CODES_7B,
             [(0, 0), (1, 2), (-1, 0), (2, -2)], (7.0, 12.0),
-            ref7, tpu7, spacing=27.0, misreg=MISREG_MODERATE),
+            ref7, tpu7, spacing=27.0, misreg=MISREG_MODERATE,
+            misreg_pedestal=0.04),
         "ecoli_10b": run_family(
             "ecoli", TEN_BIT, CODES_10B,
             [(0, 0), (2, -1), (0, 3), (-2, 0), (1, 1)], (9.0, 14.0),
