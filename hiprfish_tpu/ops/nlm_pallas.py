@@ -202,7 +202,187 @@ def _nlm_kernel(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
     out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _nlm_kernel_groups(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
+                       halo_x, pd, pr, h2, dx_mode, unroll):
+    """Group-batched variant of _nlm_kernel with STATIC dy offsets: the dy
+    groups ([4, 4, pd%4]) are Python-unrolled, so the sublane rolls that
+    build each group's N/P stacks and every per-plane mirror roll are
+    compile-time shifts (single-pass) instead of dynamic rotates
+    (multi-pass lane permutes — the dominant kernel cost, PROFILE_r04).
+    The leftover dy rows ride the same batched box-dot/exp as the quads
+    (they were single-plane passes before).
+
+    ``dx_mode`` picks how lane (dx) offsets are generated:
+      * 'fori':   rolled loop, dynamic lane rotates per offset (safe
+                  compile, the r04 behavior).
+      * 'chunk':  fori over chunks of 4 with a dynamic base rotate per
+                  side, + static sub-rolls: roll(roll(x, m), t) ==
+                  roll(x, m+t) exactly (rolls are permutations), so only
+                  the per-offset mirror-weight rotate stays dynamic.
+      * 'static': every dx is Python-unrolled — zero dynamic rotates, but
+                  ~(2 pd + 1) materialized bodies per group; Mosaic
+                  compile cost must be measured before shipping.
+    Accumulation order matches _nlm_kernel's quad path for the first
+    pd//4 * 4 dy rows and batches the leftover rows group-major; the
+    XLA-path contract is atol 1e-6 (the XLA scan's own order differs from
+    both kernels), covered by tests/test_nlm_pallas_interpret.py."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * bh, bh + 2 * halo_y),
+                   pl.ds(j * bw, bw + 2 * halo_x)],
+        win, sem)
+    copy.start()
+    copy.wait()
+
+    ps = 2 * pr + 1
+    S = win.shape[0]
+    winv = win[:, :]
+    blk = (slice(halo_y, halo_y + bh), slice(halo_x, halo_x + bw))
+
+    def _roll(a, s, axis):
+        n = a.shape[axis]
+        if isinstance(s, int):
+            s = s % n
+            if s == 0:
+                return a
+        else:
+            s = jax.lax.rem(jax.lax.rem(s, n) + n, n)
+        return pltpu.roll(a, s, axis)
+
+    def _band(n):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        d = jax.lax.rem(ci - ri + n, n)
+        return ((d <= pr) | (d >= n - pr)).astype(jnp.float32)
+
+    m_lane = _band(win.shape[1])
+
+    def _tree_sub(t):
+        pows = [t]
+        width = 1
+        while width * 2 <= ps:
+            pows.append(pows[-1] + _roll(pows[-1], -width, 0))
+            width *= 2
+        r = None
+        off = 0
+        for i_bit in range(len(pows) - 1, -1, -1):
+            w_bit = 1 << i_bit
+            if ps & w_bit:
+                part = _roll(pows[i_bit], -off, 0) if off else pows[i_bit]
+                r = part if r is None else r + part
+                off += w_bit
+        return _roll(r, pr, 0)
+
+    def _box2(e):
+        t = jax.lax.dot_general(
+            e, m_lane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return _tree_sub(t)
+
+    inv = -1.0 / (h2 * ps * ps)
+    acc0 = winv[blk]
+    wacc0 = jnp.ones((bh, bw), jnp.float32)
+
+    # dy = 0 half-row: single-plane passes (same as _nlm_kernel).
+    def per_offset0(dx, neg, pos, carry):
+        acc, wacc = carry
+        e = (winv - neg) ** 2
+        w = jnp.exp(_box2(e) * inv)
+        w_mir = _roll(w, -dx, 1)
+        acc = acc + w[blk] * neg[blk] + w_mir[blk] * pos[blk]
+        wacc = wacc + w[blk] + w_mir[blk]
+        return acc, wacc
+
+    if dx_mode == "static":
+        carry = (acc0, wacc0)
+        for dx in range(1, pd + 1):
+            carry = per_offset0(dx, _roll(winv, dx, 1), _roll(winv, -dx, 1),
+                                carry)
+    else:
+        carry = jax.lax.fori_loop(
+            1, pd + 1,
+            lambda dx, c: per_offset0(dx, _roll(winv, dx, 1),
+                                      _roll(winv, -dx, 1), c),
+            (acc0, wacc0), unroll=unroll)
+
+    start = 1
+    groups = [4] * (pd // 4) + ([pd % 4] if pd % 4 else [])
+    T = 4  # chunk width for dx_mode == 'chunk'
+    for G in groups:
+        dys = list(range(start, start + G))
+        start += G
+        WG = jnp.concatenate([winv] * G, axis=0) if G > 1 else winv
+
+        def _stack(sign):
+            planes = [_roll(winv, sign * d, 0) for d in dys]
+            return jnp.concatenate(planes, axis=0) if G > 1 else planes[0]
+
+        N = _stack(1)
+        P = _stack(-1)
+
+        def group_side(jj, Nr, Pr, carry):
+            """One dx side from pre-rolled stacks; dys/G are static."""
+            acc, wacc = carry
+            e_all = (WG - Nr) ** 2
+            w_all = jnp.exp(_box2(e_all) * inv)
+            wl = _roll(w_all, -jj, 1)
+            for i_s, d in enumerate(dys):
+                sl = slice(i_s * S, (i_s + 1) * S)
+                w = w_all[sl]
+                w_mir = _roll(wl[sl], -d, 0)
+                acc = (acc + w[blk] * Nr[sl][blk]
+                       + w_mir[blk] * Pr[sl][blk])
+                wacc = wacc + w[blk] + w_mir[blk]
+            return acc, wacc
+
+        carry = group_side(0, N, P, carry)
+        if dx_mode == "static":
+            for t in range(1, pd + 1):
+                carry = group_side(t, _roll(N, t, 1), _roll(P, -t, 1),
+                                   carry)
+                carry = group_side(-t, _roll(N, -t, 1), _roll(P, t, 1),
+                                   carry)
+        elif dx_mode == "chunk":
+            full = pd // T
+
+            def chunk_body(c, carry):
+                m = 1 + T * c
+                nb_p = _roll(N, m, 1)
+                nb_m = _roll(N, -m, 1)
+                pb_p = _roll(P, -m, 1)
+                pb_m = _roll(P, m, 1)
+                for t in range(T):
+                    jj = m + t
+                    carry = group_side(jj, _roll(nb_p, t, 1),
+                                       _roll(pb_p, -t, 1), carry)
+                    carry = group_side(-jj, _roll(nb_m, -t, 1),
+                                       _roll(pb_m, t, 1), carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, full, chunk_body, carry)
+            for t in range(1 + T * full, pd + 1):
+                carry = group_side(t, _roll(N, t, 1), _roll(P, -t, 1),
+                                   carry)
+                carry = group_side(-t, _roll(N, -t, 1), _roll(P, t, 1),
+                                   carry)
+        else:
+            carry = jax.lax.fori_loop(
+                1, pd + 1,
+                lambda jj, c: group_side(
+                    -jj, _roll(N, -jj, 1), _roll(P, jj, 1),
+                    group_side(jj, _roll(N, jj, 1), _roll(P, -jj, 1), c)),
+                carry, unroll=unroll)
+
+    acc, wacc = carry
+    out_ref[:, :] = acc / jnp.maximum(wacc, 1e-12)
+
+
+def _default_variant() -> str:
+    return os.environ.get("HIPRFISH_NLM_KERNEL", "quad")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def denoise_nl_means_pallas(
     image: jax.Array,
     h: float = 0.02,
@@ -211,11 +391,16 @@ def denoise_nl_means_pallas(
     block: int = 512,
     interpret: bool = False,
     unroll: int | None = None,
+    variant: str | None = None,
 ):
     """Pallas NLM of an (H, W) image; drop-in for denoise.denoise_nl_means.
 
     ``interpret``: run under the Pallas interpreter (CPU CI coverage).
-    ``unroll``: dx-loop unroll factor; None -> HIPRFISH_NLM_UNROLL env."""
+    ``unroll``: dx-loop unroll factor; None -> HIPRFISH_NLM_UNROLL env.
+    ``variant``: kernel formulation — 'quad' (r04 shipped), or the
+    static-dy group kernel as 'groups' / 'groups-chunk' / 'groups-static'
+    (see _nlm_kernel_groups); None -> HIPRFISH_NLM_KERNEL env (default
+    'quad')."""
     img = image.astype(jnp.float32)
     hh, ww = img.shape
     pd = patch_distance
@@ -237,10 +422,19 @@ def denoise_nl_means_pallas(
         img, ((halo_y, halo_y + ph - hh), (halo_x, halo_x + pw - ww)),
         mode="reflect")
 
-    kernel = functools.partial(
-        _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
-        pr=pr, h2=float(h * h),
-        unroll=_DX_UNROLL if unroll is None else unroll)
+    variant = variant or _default_variant()
+    if variant == "quad":
+        kernel = functools.partial(
+            _nlm_kernel, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x, pd=pd,
+            pr=pr, h2=float(h * h),
+            unroll=_DX_UNROLL if unroll is None else unroll)
+    else:
+        dx_mode = {"groups": "fori", "groups-chunk": "chunk",
+                   "groups-static": "static"}[variant]
+        kernel = functools.partial(
+            _nlm_kernel_groups, bh=bh, bw=bw, halo_y=halo_y, halo_x=halo_x,
+            pd=pd, pr=pr, h2=float(h * h), dx_mode=dx_mode,
+            unroll=_DX_UNROLL if unroll is None else unroll)
 
     out = pl.pallas_call(
         kernel,

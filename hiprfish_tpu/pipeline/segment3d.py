@@ -1294,7 +1294,7 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
 
 
 def measure_volume_zsharded(seg, volume_cm, mesh, axis: str = "fov",
-                            max_cells: int = 4096):
+                            max_cells: int = 16384):
     """Multi-chip per-cell spectral measurement: the labeled volume and its
     channel data shard over ``mesh.shape[axis]`` devices as z-slabs; each
     device accumulates per-label channel sums/counts over its local slab
@@ -1320,6 +1320,15 @@ def measure_volume_zsharded(seg, volume_cm, mesh, axis: str = "fov",
     zdim = seg.shape[2]
     if zdim % n:
         raise ValueError(f"Z={zdim} must divide by mesh[{axis!r}]={n}")
+    # JAX scatter-adds silently DROP out-of-bounds indices: a label >=
+    # max_cells would lose its cell with no error (the default now matches
+    # segment_3d_tiled's 16384, but a caller passing a smaller cap gets a
+    # loud failure instead of silently missing cells).
+    seg_max = int(jnp.max(seg))
+    if seg_max >= max_cells:
+        raise ValueError(
+            f"seg contains label {seg_max} >= max_cells={max_cells}; "
+            "raise max_cells to cover every label")
     c = volume_cm.shape[0]
 
     def _local(seg_l, vol_l):
