@@ -12,16 +12,22 @@ including the symmetric-offset trick: each half-window offset o contributes
 both the +o term at p and the mirrored -o term (weights computed on an
 extended margin so mirror weights at p+o are available in-tile).
 
-Kernel shape (round-4 rework, cost-attributed on chip): the dy rows are
-processed in QUADS whose four e-planes ride one concatenated lane-dim
-box matmul, one sublane box roll-tree, and one exp per +-dx side — the
-per-offset dispatch overhead of many small dots/transcendentals was ~18%
-of the kernel (57.9 -> 47.5 ms contended A/B, bit-identical output).
-Rejected by the same A/B: incremental static rolls via loop carries (no
-gain — carry copies), dx shifts on the sublane axis (worse), batching
-the input rolls through concatenated planes (dynamic rotates are
-bandwidth-bound), 8-plane groups (saturated at 4), and Python-unrolled
-static dx shifts (Mosaic compile exceeds 19 min).
+Kernel shape (round-5 rework): dy rows ride in Python-unrolled STATIC
+groups of up to 4 (_nlm_kernel_groups; HIPRFISH_NLM_KERNEL selects) —
+each group's e-planes share one concatenated lane-dim box matmul, one
+sublane roll-tree and one exp per +-dx side (the r04 quad batching), and
+because the dy offsets are compile-time constants every sublane roll is
+a single-pass static shift instead of a multi-pass dynamic rotate, and
+the leftover dy rows (pd % 4) are batched too. Measured at 2000^2
+(tools/exp_nlm_static.py): r03 kernel 35.2 ms -> r04 quads 26.7 -> r05
+groups 17.3 ms pipelined, bit-identical output, 4x faster Mosaic compile
+(232 s -> 57 s cache-cold). Rejected along the way: incremental static
+rolls via loop carries (carry copies), dx shifts on the sublane axis
+(dynamic sublane rotates are slower), batching input rolls through
+concatenated planes (adds concats), 8-plane groups (saturated at 4), and
+the r04-era full per-offset static unroll of the OLD kernel (Mosaic
+compile exceeded 19 min; the group kernel's 'groups-static' mode is the
+tractable version of that idea, pending an uncontended measurement).
 """
 
 from __future__ import annotations
@@ -379,7 +385,14 @@ def _nlm_kernel_groups(img_ref, out_ref, win, sem, *, bh, bw, halo_y,
 
 
 def _default_variant() -> str:
-    return os.environ.get("HIPRFISH_NLM_KERNEL", "quad")
+    """Default kernel: the static-dy group kernel ('groups'). Measured on
+    chip at 2000^2 (tools/exp_nlm_static.py, r05): quad 26.7 ms -> groups
+    17.3 ms pipelined with BIT-IDENTICAL output (max|d| = 0) and a 4x
+    faster Mosaic compile (232 s -> 57 s cache-cold) — Python-unrolling
+    the dy groups turns every sublane roll static and batches the
+    leftover dy rows through the same concatenated box-dot/exp as the
+    quads."""
+    return os.environ.get("HIPRFISH_NLM_KERNEL", "groups")
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))

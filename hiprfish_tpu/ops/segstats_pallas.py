@@ -297,12 +297,15 @@ def _stats_cm_kernel(lab_ref, img_ref, out_ref, spill_ref, acc, spill, *,
             # separate one-hot reduction or second accumulator update.
             feat = img_ref[pl.ds(b, 1)][0]               # (1+C, band_px)
             hi = feat.astype(jnp.bfloat16)
-            lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dn = (((1,), (0,)), ((), ()))                # contract band_px
             part = jax.lax.dot_general(hi, oh, dn,
                                        preferred_element_type=jnp.float32)
-            part += jax.lax.dot_general(lo, oh, dn,
-                                        preferred_element_type=jnp.float32)
+            if feat.dtype != jnp.bfloat16:
+                # hi/lo split recovers f32 accuracy; bf16 inputs are
+                # already exact in hi and skip the zero lo-dot.
+                lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                part += jax.lax.dot_general(
+                    lo, oh, dn, preferred_element_type=jnp.float32)
             acc[pl.ds(base, width), :] += part.swapaxes(0, 1)
 
         return any_spill
@@ -345,12 +348,16 @@ def stats_cm_pallas(labels, img_cm, num_segments: int, width: int,
     nsteps = -(-nb_raw // BANDS_PER_STEP)
     nb = nsteps * BANDS_PER_STEP
     lab_b = labels.reshape(n_planes, plane_px)
-    img_f = img_cm.reshape(nchan, n_planes, plane_px).astype(jnp.float32)
+    # The chunk stays in ITS OWN dtype end-to-end (bf16 loaders halve the
+    # pad/transpose copies and the kernel read; 1.0 is exact in bf16 so
+    # the counts row is unaffected, and the kernel skips the lo-dot).
+    dt = img_cm.dtype if img_cm.dtype == jnp.bfloat16 else jnp.float32
+    img_f = img_cm.reshape(nchan, n_planes, plane_px).astype(dt)
     # Constant-ones channel 0: the kernel's sums dot then yields counts in
     # its first output row for free (63 data channels -> an exact 64-row
     # block, no sublane padding).
     img_f = jnp.concatenate(
-        [jnp.ones((1, n_planes, plane_px), jnp.float32), img_f])
+        [jnp.ones((1, n_planes, plane_px), dt), img_f])
     pad_p = nb_p * band_px - plane_px
     if pad_p:
         lab_b = jnp.pad(lab_b, ((0, 0), (0, pad_p)))

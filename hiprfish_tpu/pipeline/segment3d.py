@@ -1192,7 +1192,9 @@ def make_fused_measure(loader_fn, shape, z_chunk: int, n_channels: int,
     band_px = segstats._pick_band_px(x * y, 8192)
 
     def step(seg_zxy, acc, spill, z0, zc):
-        chunk = jnp.asarray(loader_fn(z0, zc), jnp.float32)
+        # Keep the loader's dtype: bf16 spectral sources halve the chunk
+        # write + kernel read (the sums accumulate in f32 either way).
+        chunk = jnp.asarray(loader_fn(z0, zc))
         lab = jax.lax.dynamic_slice(seg_zxy, (z0, 0, 0), (zc, x, y))
         out, sp_i = sp.stats_cm_pallas(lab, chunk, acc.shape[0], width,
                                        band_px, zc, interpret)
@@ -1250,7 +1252,8 @@ def measure_volume_streamed(seg, chunk_loader, z_total: int, z_chunk: int,
                 acc = jnp.zeros((max_cells, 1 + n_channels), jnp.float32)
                 for z0 in range(0, z_total, zc_max):
                     zc = min(zc_max, z_total - z0)
-                    chunk = jnp.asarray(chunk_loader(z0, zc), jnp.float32)
+                    # keep the loader's dtype (bf16 sources halve traffic)
+                    chunk = jnp.asarray(chunk_loader(z0, zc))
                     acc = _accumulate_planes_banded_at(
                         acc, seg_zxy, chunk, np.int32(z0), 512, zc)
                 float(acc[0, 0])  # scalar sync: surface async OOM here

@@ -157,9 +157,14 @@ def channel_chunk(spec: VolumeSpec, n_codes: int, z0, zc: int,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3))
 def channel_chunk_cm(spec: VolumeSpec, n_codes: int, z0, zc: int,
-                     spectra_lut: jax.Array, key: jax.Array):
+                     spectra_lut: jax.Array, key: jax.Array,
+                     dtype=jnp.float32):
     """(C, zc, X, Y) spectral slab — the channels-major layout the streamed
-    measurement wants (channels-last pads C to 128 lanes on TPU)."""
+    measurement wants (channels-last pads C to 128 lanes on TPU).
+
+    ``dtype``: output storage dtype; bf16 halves the slab's HBM write and
+    the measurement kernel's read (the per-cell sums accumulate in f32
+    downstream either way)."""
     _, code_idx, profile = truth_chunk(spec, n_codes, z0, zc)
     code_t = jnp.transpose(code_idx, (2, 0, 1))          # (zc, X, Y)
     prof_t = jnp.transpose(profile, (2, 0, 1))
@@ -167,7 +172,7 @@ def channel_chunk_cm(spec: VolumeSpec, n_codes: int, z0, zc: int,
     base = lut_t[:, code_t] * prof_t[None]               # (C, zc, X, Y)
     noise = jax.random.uniform(jax.random.fold_in(key, z0 + 100003),
                                base.shape, jnp.float32) * spec.noise
-    return base + noise
+    return (base + noise).astype(dtype)
 
 
 def build_sum_volume(spec: VolumeSpec, n_codes: int, sum_lut, seed: int = 0,

@@ -30,6 +30,22 @@ def test_nlm_pallas_unroll_is_pure_scheduling():
         np.testing.assert_allclose(out, base, rtol=0, atol=0)
 
 
+def test_nlm_pallas_all_variants_match_xla_path():
+    """Every kernel formulation (quad = r04, groups = shipped default,
+    groups-chunk / groups-static = measured alternates) must agree with
+    the XLA path; the dy-group batching and the chunked/static dx
+    factorizations (roll(roll(x, m), t) == roll(x, m + t)) are pure
+    scheduling."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(96, 160).astype(np.float32)
+    ref = np.asarray(denoise.denoise_nl_means(jnp.asarray(img), 0.02, 7, 11))
+    for variant in ("quad", "groups", "groups-chunk", "groups-static"):
+        out = np.asarray(nlm_pallas.denoise_nl_means_pallas(
+            jnp.asarray(img), 0.02, 7, 11, 128, True, None, variant))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6,
+                                   err_msg=variant)
+
+
 def test_nlm_pallas_quad_grouping_edge_paths():
     """The r04 kernel groups dy rows in quads with single-row leftovers;
     exercise pd < 4 (no quads at all) and pd = 6 (one quad + 2 leftover

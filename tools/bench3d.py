@@ -89,8 +89,13 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     loader_key = jax.random.PRNGKey(1)
 
     def loader(z0, zc):
+        # bf16 slabs: halves the generator write + measurement read of the
+        # 175 GB-equivalent spectral stream; gated by the bench's own
+        # exact-count + accuracy checks (HIPRFISH_3D_MEASURE_F32=1 reverts).
+        dt = jnp.float32 if os.environ.get("HIPRFISH_3D_MEASURE_F32") \
+            else jnp.bfloat16
         return s3.channel_chunk_cm(spec, len(codes), z0, zc, lut_dev,
-                                   loader_key)
+                                   loader_key, dt)
 
     # One-dispatch fused measurement program (loader + banded accumulate
     # under a single fori_loop; the per-chunk dispatch loop paid ~170
