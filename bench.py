@@ -441,13 +441,21 @@ def main():
 
 
 def bench_cli_fresh_process(timeout_s: int = 900):
-    """Fresh-subprocess CLI timing: the same ``cli.measure`` invocation run
-    twice, each in its own interpreter, against the pinned compile-cache
-    session (``utils.platform.pin_axon_session_inprocess`` runs inside
-    every CLI entry point). The second run shows what a user's
-    Snakemake-style per-rule process fan-out (the reference's normal mode,
-    ecoli/Snakefile:78-82) actually pays once the first process has
-    populated the persistent cache."""
+    """Fresh-subprocess CLI timing with the warmup story (VERDICT r04 #6):
+
+      warmup_s : ``cli.warmup`` pre-seeding the persistent compile cache
+                 for this FOV size — the once-per-machine setup step a
+                 deployment runs at install time (pays the engine's XLA
+                 compile the FIRST time; later bench runs find it cached).
+      first_s  : the first real ``cli.measure`` process after warmup —
+                 what a fresh machine's first FOV actually costs once
+                 setup ran (the r04 unwarmed number was 265 s,
+                 PROFILE_r04.md).
+      second_s : the steady per-rule process cost of the reference's
+                 Snakemake-style fan-out (ecoli/Snakefile:78-82).
+
+    All three run in their own interpreter against the pinned
+    compile-cache session (utils.platform)."""
     import subprocess
     import tempfile
 
@@ -477,6 +485,15 @@ def bench_cli_fresh_process(timeout_s: int = 900):
         repo = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ)
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-m", "hiprfish_tpu.cli.warmup", "--family",
+             "ecoli", "--size", "192", "--max_cells", "4096"], cwd=td,
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        out["warmup_s"] = round(time.time() - t0, 1)
+        if p.returncode != 0:
+            out["error"] = "warmup: " + (p.stderr or p.stdout)[-300:]
+            return out
         for run in ("first_s", "second_s"):
             t0 = time.time()
             p = subprocess.run(
@@ -487,7 +504,9 @@ def bench_cli_fresh_process(timeout_s: int = 900):
             if p.returncode != 0:
                 out["error"] = (p.stderr or p.stdout)[-300:]
                 return out
-        out["note"] = ("two fresh interpreters, same CLI, shared pinned "
+        out["note"] = ("warmup = cli.warmup pre-seeding (once per machine/"
+                       "size); first/second = fresh cli.measure "
+                       "interpreters against the shared pinned "
                        "compile-cache session")
     except Exception as e:  # the extra must never take down the bench
         out["error"] = repr(e)[:300]

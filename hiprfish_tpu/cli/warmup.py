@@ -46,9 +46,13 @@ def warmup_ecoli(size: int, max_cells: int) -> None:
     print(f"# ecoli fused engine {size}^2 x{max_cells}: "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
+    # cli.measure feeds measure_device the engine's registered cube, which
+    # is stored in cfg.registered_dtype — the spec must match or the CLI
+    # pays a fresh compile.
     measure.measure_device.lower(
         jax.ShapeDtypeStruct((size, size), jnp.int32),
-        jax.ShapeDtypeStruct((size, size, layout.n_channels), jnp.float32),
+        jax.ShapeDtypeStruct((size, size, layout.n_channels),
+                             jnp.dtype(cfg.registered_dtype)),
         max_cells).compile()
     print(f"# measure_device {size}^2 x{layout.n_channels}ch: "
           f"{time.time()-t0:.1f}s", file=sys.stderr)

@@ -256,3 +256,50 @@ def test_bench_retry_on_transient_config_failure(monkeypatch):
                         lambda c, timeout_s=1500: {"error": "boom"})
     out = bench._run_config_with_retry("3d")
     assert out == {"error": "boom", "retry_error": "boom"}
+
+
+def test_cli_warmup_precompiles_engines(tmp_path, monkeypatch):
+    """cli.warmup must AOT-compile the flagship signatures it names: after
+    warmup at a given size, a direct fused-engine call at that size emits
+    no fresh XLA compile (the contract tests/test_warmup_aot.py pins)."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from hiprfish_tpu.cli import warmup
+    from hiprfish_tpu.config import TEN_BIT, SegmentationConfig
+    from hiprfish_tpu.pipeline import fused_ecoli
+
+    monkeypatch.chdir(tmp_path)
+    warmup.main(["--family", "ecoli", "--size", "96", "--max_cells", "64"])
+
+    class _Log(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.messages = []
+
+        def emit(self, record):
+            self.messages.append(record.getMessage())
+
+    handler = _Log()
+    logger = logging.getLogger("jax._src.dispatch")
+    old = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.DEBUG)
+    try:
+        jax.config.update("jax_log_compiles", True)
+        bounds = TEN_BIT.block_bounds
+        stack = tuple(
+            jnp.zeros((96, 96, bounds[i + 1] - bounds[i]), jnp.float32)
+            for i in range(TEN_BIT.n_lasers))
+        out = fused_ecoli.segment_ecoli_device(stack, SegmentationConfig(),
+                                               64)
+        jax.block_until_ready(out[0])
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(handler)
+        logger.setLevel(old)
+    compiled = [m for m in handler.messages
+                if "segment_ecoli_device" in m and "compil" in m.lower()]
+    assert not compiled, compiled
