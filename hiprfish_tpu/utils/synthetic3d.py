@@ -155,7 +155,7 @@ def channel_chunk(spec: VolumeSpec, n_codes: int, z0, zc: int,
     return base + noise
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 6))
 def channel_chunk_cm(spec: VolumeSpec, n_codes: int, z0, zc: int,
                      spectra_lut: jax.Array, key: jax.Array,
                      dtype=jnp.float32):

@@ -229,6 +229,15 @@ def test_stitch_tiles_device_and_streamed_measurement():
     direct = np.asarray(loader(0, 4))
     np.testing.assert_allclose(
         cm.mean(axis=(1, 2, 3)), direct.mean(axis=(0, 1, 2)), atol=1e-3)
+    # the dtype arg must be STATIC: passing the jnp.bfloat16 scalar-meta as
+    # a traced arg raised TypeError in the bench's bf16 measure stream
+    # (BENCH r05 3d config failure, 2026-08-20)
+    cm_bf = s3.channel_chunk_cm(
+        spec, len(codes), 0, 4, jnp.asarray(lut, jnp.float32), key,
+        jnp.bfloat16)
+    assert cm_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(cm_bf, np.float32), cm,
+                               rtol=1e-2, atol=2e-2)
     avg_cm = np.asarray(segment3d.measure_volume_streamed(
         truth, loader_cm, 40, 16, 63, 64, channels_major=True))
     np.testing.assert_allclose(avg_cm, avg, rtol=1e-5, atol=1e-6)
