@@ -494,16 +494,28 @@ def bench_cli_fresh_process(timeout_s: int = 900):
         if p.returncode != 0:
             out["error"] = "warmup: " + (p.stderr or p.stdout)[-300:]
             return out
+        # Each measure child gets its own timeout and a failure records an
+        # error WITHOUT skipping the remaining child: a wedged tunnel
+        # compile service can hang one fresh process while the next one
+        # (cache-hit only) is fine — measured 2026-08-21, first_s hung at
+        # the 900 s ceiling and the abort threw away the second_s number.
+        per_run_timeout = min(timeout_s, 480)
         for run in ("first_s", "second_s"):
             t0 = time.time()
-            p = subprocess.run(
-                [sys.executable, "-m", "hiprfish_tpu.cli.measure", "-i",
-                 *names], cwd=td, capture_output=True, text=True,
-                timeout=timeout_s, env=env)
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-m", "hiprfish_tpu.cli.measure", "-i",
+                     *names], cwd=td, capture_output=True, text=True,
+                    timeout=per_run_timeout, env=env)
+            except subprocess.TimeoutExpired:
+                out[run] = None
+                out.setdefault("errors", {})[run] = \
+                    f"timed out after {per_run_timeout}s"
+                continue
             out[run] = round(time.time() - t0, 1)
             if p.returncode != 0:
-                out["error"] = (p.stderr or p.stdout)[-300:]
-                return out
+                out.setdefault("errors", {})[run] = \
+                    (p.stderr or p.stdout)[-300:]
         out["note"] = ("warmup = cli.warmup pre-seeding (once per machine/"
                        "size); first/second = fresh cli.measure "
                        "interpreters against the shared pinned "
