@@ -46,13 +46,17 @@ def warmup_ecoli(size: int, max_cells: int) -> None:
     print(f"# ecoli fused engine {size}^2 x{max_cells}: "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    # cli.measure feeds measure_device the engine's registered cube, which
-    # is stored in cfg.registered_dtype — the spec must match or the CLI
-    # pays a fresh compile.
+    # cli.measure feeds measure_device the engine's registered cube: the
+    # fused TPU engine stores it in cfg.registered_dtype, while the
+    # CPU/GPU host path (segment2d.segment_ecoli) keeps f32 — the spec
+    # must match the backend the CLI will take or it pays a fresh compile
+    # (JAX_LOG_COMPILES showed the f32 recompile on the CPU twin,
+    # 2026-08-21).
+    reg_dt = jnp.dtype(cfg.registered_dtype) \
+        if jax.default_backend() not in ("cpu", "gpu") else jnp.float32
     measure.measure_device.lower(
         jax.ShapeDtypeStruct((size, size), jnp.int32),
-        jax.ShapeDtypeStruct((size, size, layout.n_channels),
-                             jnp.dtype(cfg.registered_dtype)),
+        jax.ShapeDtypeStruct((size, size, layout.n_channels), reg_dt),
         max_cells).compile()
     print(f"# measure_device {size}^2 x{layout.n_channels}ch: "
           f"{time.time()-t0:.1f}s", file=sys.stderr)

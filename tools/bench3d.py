@@ -36,6 +36,14 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     import jax
     import jax.numpy as jnp
 
+    # Cap the tile id-floods' scan-doubling distance at the fixture's max
+    # cell extent (28 px xy / 22 px z < 32): the tail doubling steps up to
+    # the 60-px margin are provably idle HBM passes. A/B on chip
+    # (2026-08-21, warm): segment 16.9 -> 16.2 s, identical 9408/9408.
+    # Convergence is fixpoint-checked, so a too-small cap can only add
+    # rounds, never change the labels (ops/labeling._run_min_scan).
+    os.environ.setdefault("HIPRFISH_3D_SCAN_CAP", "32")
+
     from hiprfish_tpu.config import SEVEN_BIT, ClassifierConfig, \
         SegmentationConfig
     from hiprfish_tpu.models import train as mtrain
@@ -86,7 +94,13 @@ def run(shape=(2020, 2020, 170), tile_grid=(2, 4), overlap=60,
     # across processes on the tunneled platform (see warmup_pipeline).
     import threading
     lut_dev = jnp.asarray(lut, jnp.float32)
-    loader_key = jax.random.PRNGKey(1)
+    # rbg keys: the measure stream draws noise over the 175 GB-equivalent
+    # spectral volume, and threefry alone dominated the measured stage
+    # (11.4 s for a kernel reading ~86 GB at a fraction of HBM speed —
+    # generator-bound, not bandwidth-bound). The hardware RNG keeps the
+    # same distribution (different realization; the exact-count + accuracy
+    # gates below hold either way).
+    loader_key = jax.random.key(1, impl="rbg")
 
     def loader(z0, zc):
         # bf16 slabs: halves the generator write + measurement read of the
